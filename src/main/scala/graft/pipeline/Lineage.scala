@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition watermark checkpoint — the sincedb analog.
+  *
+  * The reference persists a single `Time` scalar, read once per listing
+  * cycle and advanced after each fully-processed file
+  * (s3.rb:446-468, 142, 388). A scalar only works because the reference
+  * is strictly serial (files processed oldest-first, one at a time,
+  * s3.rb:166, 188-193). Our engine processes partitions in parallel, so
+  * the checkpoint is a **lineage table**: one row per
+  * (batch_id, partition day) recording the high watermark committed for
+  * that partition, appended only after every sink publish for the batch
+  * succeeded (the commit-after-publish ordering mirrors the reference's
+  * temp-file -> finalize -> sincedb.write sequence, s3.rb:380-388).
+  *
+  * `readState` is called once per run — the reference's 3.8.2 fix
+  * ("read sincedb once per cycle, not per object", CHANGELOG.md:8).
+  */
+object Lineage {
+
+  val epoch = new Timestamp(0L)
+
+  case class Commit(batch_id: String, day: String, last_ts: Timestamp,
+      rows: Long, committed_at: Timestamp)
+
+  def path(sinkRoot: String): String = s"$sinkRoot/_lineage"
+
+  /** All committed lineage rows; empty DataFrame if no checkpoint exists
+    * yet (the "empty sincedb file reads as epoch, no exception" semantic,
+    * sincedb_spec.rb:14-16, s3.rb:455-459).
+    */
+  def read(spark: SparkSession, sinkRoot: String): DataFrame = {
+    import spark.implicits._
+    val p = path(sinkRoot)
+    if (exists(spark, p)) spark.read.parquet(p)
+    else spark.emptyDataset[Commit].toDF()
+  }
+
+  /** Per-day high watermarks, collected to a driver map (small: one entry
+    * per partition day ever committed).
+    */
+  def watermarks(spark: SparkSession, sinkRoot: String): Map[String, Timestamp] =
+    read(spark, sinkRoot)
+      .groupBy(col("day")).agg(max(col("last_ts")).as("wm"))
+      .collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1))
+      .toMap
+
+  /** Set of committed batch ids — published sink batches not in this set
+    * are orphans from a crashed run and must be ignored by readers
+    * (snapshot-isolation analog of the reference's mtime-recheck guard,
+    * s3.rb:383-390).
+    */
+  def committedBatches(spark: SparkSession, sinkRoot: String): Set[String] =
+    read(spark, sinkRoot).select("batch_id").distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Append commit rows for a published batch. */
+  def commit(spark: SparkSession, sinkRoot: String, rows: Seq[Commit]): Unit = {
+    import spark.implicits._
+    if (rows.nonEmpty)
+      rows.toDS().toDF().coalesce(1).write.mode(SaveMode.Append)
+        .parquet(path(sinkRoot))
+  }
+
+  /** Deterministic batch identity: a pure function of the checkpoint
+    * state and the injected clock, so a crashed run re-executed on the
+    * same state reproduces the same batch_id and its publish is
+    * idempotent. Mirrors the reference's sincedb identity
+    * `MD5(bucket+prefix)` (s3.rb:340).
+    */
+  def batchId(asOf: Timestamp, wms: Map[String, Timestamp]): String = {
+    val state = wms.toSeq.sortBy(_._1)
+      .map { case (d, t) => s"$d=${t.getTime}" }.mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"${asOf.getTime}|$state".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listStatus(hp).exists(s =>
+      s.getPath.getName.endsWith(".parquet"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One batch-incremental cycle — the `run(queue)` analog (s3.rb:130-136)
+  * with `watch_for_new_files=false` semantics: one discovery, one
+  * process pass, then stop (s3.rb:125-127). The reference's 60s polling
+  * loop becomes repeated invocations of [[runCycle]] (or a Structured
+  * Streaming trigger; see graft.streaming).
+  *
+  * Lifecycle per cycle (SURVEY.md §3.1):
+  *   read lineage once -> discover delta (watermark + cutoff predicates,
+  *   partition-pruned scan) -> parse (grok columns + header propagation +
+  *   sessionization) -> enrich (broadcast joins) -> route -> staged sink
+  *   writes -> atomic publish -> aggregate metrics -> lineage commit.
+  *
+  * Re-running with no new data is a no-op (empty delta -> no publish, no
+  * commit). A crash before the lineage commit leaves the checkpoint
+  * untouched; the re-run reproduces the same batch id and republishes
+  * idempotently.
+  */
+object Main {
+
+  case class CycleResult(batchId: String, rowsProcessed: Long,
+      publishedSinks: Seq[String])
+
+  def runCycle(spark: SparkSession, cfg: PipelineConfig,
+      asOf: Timestamp): CycleResult = {
+    // 1. checkpoint state — read ONCE per cycle (CHANGELOG.md:8 semantics)
+    val wms = Lineage.watermarks(spark, cfg.sinkRoot)
+    val batchId = Lineage.batchId(asOf, wms)
+
+    // 2. discovery: the unprocessed, cutoff-eligible delta
+    val delta = Discover.delta(spark, cfg, asOf, wms)
+
+    // 3-5. parse -> enrich -> route (all narrow except the prefix scans)
+    import spark.implicits._
+    val parsed = Parse(delta.as[Turn](
+      org.apache.spark.sql.Encoders.product[Turn]).toDF()
+      .as[Turn], cfg.chunkSize)
+    val enriched = Enrich(parsed)
+    val routed = Route(enriched, cfg.excludePattern).cache()
+
+    // new per-day watermarks from the routed delta (one pass; also the
+    // emptiness check)
+    val newWms = routed.groupBy(col("day"))
+      .agg(max(col("ts")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val total = newWms.map(_._3).sum
+    if (total == 0L) {
+      routed.unpersist()
+      return CycleResult(batchId, 0L, Seq.empty)
+    }
+
+    // 6. staged write -> 7. atomic publish -> 8. metrics -> 9. commit
+    Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
+    val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
+    Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
+    val now = new Timestamp(System.currentTimeMillis())
+    Lineage.commit(spark, cfg.sinkRoot,
+      newWms.map { case (d, mx, n) =>
+        Lineage.Commit(batchId, d, mx, n, now)
+      }.toSeq)
+    routed.unpersist()
+    CycleResult(batchId, total, published)
+  }
+
+  /** CLI: --input <path> --sink-root <path> --as-of <ISO8601|now>
+    * [--exclude <regex>] [--cutoff <sec>]
+    * [--synth <nConvs>] [--seed <n>]  — first write a deterministic
+    * synthetic transcript table to --input, then run the cycle.
+    */
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) => k.stripPrefix("--") -> v
+    }.toMap
+    require(opts.contains("input") && opts.contains("sink-root"),
+      "usage: --input <path> --sink-root <path> [--as-of <ISO8601|now>] " +
+        "[--exclude <regex>] [--cutoff <sec>] [--synth <nConvs>] [--seed <n>]")
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    opts.get("synth").foreach { n =>
+      val seed = opts.getOrElse("seed", "42").toLong
+      val written = Synth.writeTable(spark, opts("input"), seed, n.toLong)
+      System.err.println(s"[synth] wrote $written turns to ${opts("input")}")
+    }
+    val asOf = opts.get("as-of").filter(_ != "now")
+      .map(s => Timestamp.from(java.time.Instant.parse(s)))
+      .getOrElse(new Timestamp(System.currentTimeMillis()))
+    val cfg = PipelineConfig(
+      inputPath = opts("input"),
+      sinkRoot = opts("sink-root"),
+      excludePattern = opts.getOrElse("exclude", ""),
+      cutoffSeconds = opts.getOrElse("cutoff", "3").toInt)
+    val res = runCycle(spark, cfg, asOf)
+    println(s"""{"batch_id":"${res.batchId}","rows":${res.rowsProcessed},""" +
+      s""""sinks":[${res.publishedSinks.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+  }
+}

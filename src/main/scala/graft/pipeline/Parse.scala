@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grok-style parse stage — the codec-decode analog (P1-P5).
+  *
+  * The reference decodes each line through a pluggable codec
+  * (s3.rb:224-239) and folds `#Version:`/`#Fields:` header lines into
+  * per-file state stamped onto subsequent events (s3.rb:266-290). We
+  * re-express that as:
+  *
+  *  - a compiled pattern dictionary (the north-star "grok dictionary"),
+  *    applied two ways: a Catalyst column fast path (`regexp_extract`
+  *    trees — fully codegen'd and pushdown-transparent, the default),
+  *    and a typed `mapPartitions` path with patterns compiled once per
+  *    partition (for callers who want `Dataset[ParsedLine]`);
+  *  - header classification + consumption (P4) with propagation onto
+  *    subsequent turns via a distributed prefix scan (P5) — see
+  *    [[PrefixOps]];
+  *  - continuation-line sessionization (multiline codec analog, P3);
+  *  - dead-letter classification for non-conformant lines instead of a
+  *    job failure ("broken files are skipped without crashing",
+  *    s3.rb:292-301, CHANGELOG 3.3.5).
+  *
+  * The `text` column is never rewritten (byte-equality invariant): every
+  * extraction lands in a new column.
+  */
+object Parse {
+
+  /** The grok dictionary: named patterns, Java-dialect regex. */
+  val grokDictionary: Map[String, String] = Map(
+    "LOGLINE" -> """^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) (TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \[(\w+)\] (.*)$""",
+    "HEADER_VERSION" -> """^#Version: (.+)$""",
+    "HEADER_FIELDS" -> """^#Fields: (.+)$""",
+    "CONTINUATION" -> """^\s+(.*)$""",
+    "TOOL_CALL" -> """<tool:(\w+)[^>]*>""")
+
+  /** Typed result of the mapPartitions parse path. */
+  case class ParsedLine(
+      conv_id: String, turn_idx: Int, role: String, text: String,
+      tool: String, ts: java.sql.Timestamp,
+      parsed_ts_str: String, level: String, body: String,
+      tool_calls: Seq[String], header_version: String,
+      header_fields: String, is_continuation: Boolean, parse_ok: Boolean)
+
+  /** Typed `Dataset.map` parse with the dictionary compiled once per
+    * partition (the north-star wording; mirrors the reference compiling
+    * its codec/regexes at register time, s3.rb:99-128). Functionally
+    * identical to [[parseColumns]] — the column path is preferred in the
+    * hot pipeline because it stays inside WholeStageCodegen.
+    */
+  def parseTyped(ds: Dataset[Turn]): Dataset[ParsedLine] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val pat = grokDictionary.map { case (k, v) =>
+        k -> java.util.regex.Pattern.compile(v)
+      }
+      val logline = pat("LOGLINE")
+      val hdrV = pat("HEADER_VERSION")
+      val hdrF = pat("HEADER_FIELDS")
+      val cont = pat("CONTINUATION")
+      val toolCall = pat("TOOL_CALL")
+      it.map { t =>
+        val m = logline.matcher(t.text)
+        val (pts, lvl, body, ok) =
+          if (m.matches()) (m.group(1), m.group(2), m.group(4), true)
+          else (null, null, null, false)
+        val mv = hdrV.matcher(t.text)
+        val mf = hdrF.matcher(t.text)
+        val mc = cont.matcher(t.text)
+        val calls = {
+          val b = Seq.newBuilder[String]
+          val tm = toolCall.matcher(t.text)
+          while (tm.find()) b += tm.group(1)
+          b.result()
+        }
+        ParsedLine(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+          pts, lvl, body, calls,
+          if (mv.matches()) mv.group(1) else null,
+          if (mf.matches()) mf.group(1) else null,
+          mc.matches(), ok)
+      }
+    }
+  }
+
+  /** Column fast path: same extraction as [[parseTyped]] as a Catalyst
+    * expression tree (codegen'd, optimizer-visible). Adds columns:
+    * parsed_ts, level, body, tool_calls, header_version, header_fields,
+    * is_header, is_continuation, parse_ok.
+    */
+  def parseColumns(df: DataFrame): DataFrame = {
+    val logline = grokDictionary("LOGLINE")
+    df
+      .withColumn("parsed_ts",
+        to_timestamp(
+          nullif(regexp_extract(col("text"), logline, 1), lit("")),
+          "yyyy-MM-dd'T'HH:mm:ss[.SSS]'Z'"))
+      .withColumn("level",
+        nullif(regexp_extract(col("text"), logline, 2), lit("")))
+      .withColumn("body",
+        when(col("level").isNotNull,
+          regexp_extract(col("text"), logline, 4)))
+      .withColumn("tool_calls",
+        regexp_extract_all(col("text"),
+          lit(grokDictionary("TOOL_CALL")), lit(1)))
+      .withColumn("header_version",
+        nullif(regexp_extract(col("text"),
+          grokDictionary("HEADER_VERSION"), 1), lit("")))
+      .withColumn("header_fields",
+        nullif(regexp_extract(col("text"),
+          grokDictionary("HEADER_FIELDS"), 1), lit("")))
+      .withColumn("is_header",
+        col("header_version").isNotNull || col("header_fields").isNotNull)
+      .withColumn("is_continuation",
+        col("text").rlike(grokDictionary("CONTINUATION")))
+      .withColumn("parse_ok", col("level").isNotNull)
+  }
+
+  /** P5: propagate the most recent header_version onto all subsequent
+    * turns of the conversation (scale-safe prefix scan). Adds `header`.
+    */
+  def propagateHeaders(df: DataFrame, chunkSize: Int = 4096): DataFrame =
+    PrefixOps.propagateLastNonNull(df, col("header_version"), "header",
+      chunkSize)
+
+  /** P3: multiline sessionization. A turn starts a new logical record
+    * unless it is a continuation line; `session_id` is the running count
+    * of record starts. Adds `session_id`.
+    */
+  def sessionize(df: DataFrame, chunkSize: Int = 4096): DataFrame =
+    PrefixOps.prefixSum(df,
+      when(col("is_continuation"), lit(0)).otherwise(lit(1)),
+      "session_id", chunkSize)
+
+  /** Merge each multiline session into one logical record (the
+    * multiline codec's output shape: 2 merged events from 4 physical
+    * lines, spec:479-491, including the trailing EOF flush — the last
+    * session needs no closing boundary). Sessions are small (a few
+    * lines), so the per-group collect_list is bounded.
+    */
+  def mergeSessions(df: DataFrame): DataFrame = {
+    df.groupBy(col("conv_id"), col("session_id"))
+      .agg(
+        min(col("turn_idx")).as("turn_idx"),
+        first(col("role")).as("role"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("turn_idx").as("i"),
+              col("text").as("t")))),
+            x => x.getField("t"))).as("merged_text"),
+        count(lit(1)).as("n_lines"),
+        min(col("ts")).as("ts"))
+  }
+
+  /** Full parse stage used by the pipeline. */
+  def apply(ds: Dataset[Turn], chunkSize: Int = 4096): DataFrame = {
+    val parsed = parseColumns(ds.toDF())
+    sessionize(propagateHeaders(parsed, chunkSize), chunkSize)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix scans over (conv_id, turn_idx)-ordered data.
+  *
+  * The reference propagates per-file scalar state (CloudFront
+  * `#Version:`/`#Fields:` headers, s3.rb:280-290) and groups multiline
+  * records (multiline codec, spec:479-491) by reading a file serially.
+  * The direct Spark translation is a window over
+  * `partitionBy(conv_id).orderBy(turn_idx)` — correct, but it forces an
+  * entire conversation into one task. At 10^12-turn scale a hot
+  * conversation can be millions of turns, so that window is a
+  * straggler/OOM hazard.
+  *
+  * Instead we do a classic two-level scan (the standard parallel-prefix
+  * decomposition):
+  *
+  *   1. chunk rows by `chunk = turn_idx / chunkSize` — order-preserving,
+  *      unlike hash salting, so intra-chunk windows stay correct;
+  *   2. run the running aggregate inside each bounded (conv, chunk)
+  *      window;
+  *   3. aggregate one summary row per (conv, chunk) — a DataFrame ~1/chunkSize
+  *      the size of the input — and compute the exclusive carry-in per
+  *      chunk with a window over chunks (each conversation has
+  *      size/chunkSize rows there, again bounded);
+  *   4. join the carry-in back and combine.
+  *
+  * Every stage is bounded-memory per task regardless of conversation
+  * size; the only shuffles are the (conv, chunk) repartition and the
+  * small summary window.
+  */
+object PrefixOps {
+
+  /** Running "last non-null value so far" per conv ordered by turn_idx —
+    * the header-propagation primitive (P5). Adds `outCol`.
+    *
+    * Semantics match
+    * `last(valueCol, ignoreNulls).over(partitionBy(conv).orderBy(idx)
+    *   .rowsBetween(unboundedPreceding, currentRow))`.
+    */
+  def propagateLastNonNull(df: DataFrame, valueCol: Column, outCol: String,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx"): DataFrame = {
+    val chunked = df
+      .withColumn("_val", valueCol)
+      .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
+    val wIn = Window.partitionBy(col(convCol), col("_chunk"))
+      .orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked.withColumn("_run", last(col("_val"), ignoreNulls = true).over(wIn))
+
+    // One row per (conv, chunk): the last non-null value in that chunk.
+    val summaries = chunked
+      .filter(col("_val").isNotNull)
+      .groupBy(col(convCol), col("_chunk"))
+      .agg(max_by(col("_val"), col(idxCol)).as("_chunk_last"))
+    val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Carry-in for every chunk that appears in the data (including chunks
+    // with no non-null values of their own — hence the distinct chunk
+    // spine, left-joined with summaries).
+    val spine = chunked.select(col(convCol), col("_chunk")).distinct()
+    val carry = spine
+      .join(summaries, Seq(convCol, "_chunk"), "left")
+      .withColumn("_carry_in",
+        last(col("_chunk_last"), ignoreNulls = true).over(wCarry))
+      .select(col(convCol), col("_chunk"), col("_carry_in"))
+
+    within
+      .join(carry, Seq(convCol, "_chunk"), "left")
+      .withColumn(outCol, coalesce(col("_run"), col("_carry_in")))
+      .drop("_val", "_chunk", "_run", "_carry_in")
+  }
+
+  /** Running sum of an integer indicator per conv ordered by turn_idx —
+    * the sessionization primitive (P3: multiline grouping). Adds `outCol`
+    * = inclusive prefix sum of `indicator`.
+    */
+  def prefixSum(df: DataFrame, indicator: Column, outCol: String,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx"): DataFrame = {
+    val chunked = df
+      .withColumn("_ind", indicator.cast("long"))
+      .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
+    val wIn = Window.partitionBy(col(convCol), col("_chunk"))
+      .orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked.withColumn("_run", sum(col("_ind")).over(wIn))
+
+    val summaries = chunked.groupBy(col(convCol), col("_chunk"))
+      .agg(sum(col("_ind")).as("_chunk_sum"))
+    val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summaries
+      .withColumn("_carry_in",
+        coalesce(sum(col("_chunk_sum")).over(wCarry), lit(0L)))
+      .select(col(convCol), col("_chunk"), col("_carry_in"))
+
+    within
+      .join(carry, Seq(convCol, "_chunk"), "left")
+      .withColumn(outCol, col("_run") + coalesce(col("_carry_in"), lit(0L)))
+      .drop("_ind", "_chunk", "_run", "_carry_in")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Predicate routing — the include/exclude key-filtering + fan-out
+  * analog (S7, S13-S16; s3.rb:360-374, backup semantics s3.rb:169-183).
+  *
+  * Every row gets exactly one `sink` label (the routing function is a
+  * total function, so the sinks PARTITION the parsed input — the
+  * routed-row set-equality invariant is testable with union/exceptAll):
+  *
+  *  - `consumed`   — header rows (P4): the reference DROPS `#Version:` /
+  *    `#Fields:` rows from the output after folding them into per-file
+  *    state (s3.rb:234-236, 266-278). We route them to a `consumed` sink
+  *    instead of deleting — same visible output, better lineage.
+  *  - `deadletter` — non-conformant lines (the "broken file is logged and
+  *    skipped without crashing" semantic, s3.rb:292-301): not parseable,
+  *    not a header, not a continuation.
+  *  - `excluded`   — text matches the configured exclude_pattern
+  *    (s3.rb:76; Java regex dialect, documented difference from Ruby).
+  *  - role sinks   — `user` / `assistant` / `tool` / `system` (+ `other`
+  *    for unknown roles), the per-key routing analog.
+  *
+  * Precedence: consumed > deadletter > excluded > role — mirrors the
+  * reference's order (metadata classification happens before codec
+  * output, s3.rb:234-238; exclusion happens at discovery).
+  */
+object Route {
+
+  val sinkNames: Seq[String] =
+    Seq("user", "assistant", "tool", "system", "other",
+      "consumed", "deadletter", "excluded")
+
+  def sinkExpr(excludePattern: String): Column = {
+    val base =
+      when(col("is_header"), lit("consumed"))
+        .when(!col("parse_ok") && !col("is_continuation"), lit("deadletter"))
+    val withExclude =
+      if (excludePattern == null || excludePattern.isEmpty) base
+      else base.when(col("text").rlike(excludePattern), lit("excluded"))
+    withExclude
+      .when(col("role").isin("user", "assistant", "tool", "system"),
+        col("role"))
+      .otherwise(lit("other"))
+  }
+
+  def apply(df: DataFrame, excludePattern: String = ""): DataFrame =
+    df.withColumn("sink", sinkExpr(excludePattern))
+}

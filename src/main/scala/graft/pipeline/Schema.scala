@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+/** Core data model for the transcript pipeline.
+  *
+  * Input schema is authoritative from BASELINE.json `input_hint`:
+  * `(conv_id:string, turn_idx:int, role:string, text:string,
+  * tool:string, ts:timestamp)`. The reference's unit of data is an
+  * untyped row-oriented event (reference: lib/logstash/inputs/s3.rb:17-19,
+  * 224-239); ours is a typed row of `Dataset[Turn]` with a fixed
+  * Catalyst schema so pruning/pushdown work.
+  */
+case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String, // null when the turn is not a tool turn
+    ts: Timestamp)
+
+/** A parsed + enriched turn — the post-parse schema (SURVEY.md §1.3).
+  * `text` is NEVER rewritten (byte-equality invariant; the reference
+  * likewise keeps `message` = raw line, s3.rb:224-239): all extraction
+  * goes into new columns.
+  */
+case class EnrichedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp,
+    parsed_ts: Timestamp, // timestamp extracted from the text line
+    level: String, // log-level-like tag extracted from text
+    body: String, // message payload after the grok prefix
+    tool_calls: Seq[String], // `<tool:NAME ...>` markers in the body
+    actor_class: String, // role -> actor_class broadcast lookup
+    tool_category: String, // tool -> category broadcast lookup
+    header: String, // propagated per-conversation header (P5 analog)
+    sink: String) // routing decision
+
+/** Pipeline configuration — the analog of the reference plugin's config
+  * block (s3.rb:38-91). All time logic takes an injected `asOf` clock:
+  * tests must never read the wall clock (spec:123-139 controls Time.now
+  * via doubles; we do the same with a parameter).
+  *
+  * @param inputPath       root of the partitioned transcript table
+  * @param sinkRoot        root dir under which per-sink tables are published
+  * @param excludePattern  Java-dialect regex; turns whose text matches are
+  *                        routed to the `excluded` sink rather than dropped
+  *                        (exclude_pattern analog, s3.rb:76, 360-374)
+  * @param archivePrefix   prefix marking rows already archived — discovery
+  *                        must not re-ingest them (backup_add_prefix
+  *                        self-exclusion analog, s3.rb:365)
+  * @param cutoffSeconds   freshness guard: turns with ts within `cutoff`
+  *                        of `asOf` are deferred to the next run
+  *                        (CUTOFF_SECOND analog, s3.rb:91, 153-154)
+  * @param saltBuckets     salt fan-out for hot-conversation skew
+  * @param chunkSize       rows per chunk for the distributed prefix scan
+  *                        (header propagation / sessionization at scale)
+  */
+case class PipelineConfig(
+    inputPath: String,
+    sinkRoot: String,
+    excludePattern: String = "",
+    archivePrefix: String = "archived/",
+    cutoffSeconds: Int = 3,
+    saltBuckets: Int = 16,
+    chunkSize: Int = 4096)
+
+object Schema {
+  import org.apache.spark.sql.types._
+
+  /** StructType mirror of [[Turn]] for schema-on-read. */
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("role", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("tool", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false)
+  ))
+
+  /** Roles cycled by the generator; weights per FIXTURES.md §A. */
+  val roles: Seq[String] = Seq("user", "assistant", "tool", "system")
+
+  /** Broadcast dim: role -> actor_class (SURVEY.md §2.3). */
+  val roleDim: Seq[(String, String)] = Seq(
+    "user" -> "human",
+    "assistant" -> "model",
+    "tool" -> "machine",
+    "system" -> "orchestrator")
+
+  /** Broadcast dim: tool -> category. One tool name that appears in the
+    * data ("mystery_tool") is deliberately absent so the left-join null
+    * path is exercised (FIXTURES.md §A lookup dims).
+    */
+  val toolDim: Seq[(String, String)] = Seq(
+    "search" -> "retrieval",
+    "browser" -> "retrieval",
+    "python" -> "code",
+    "bash" -> "code",
+    "calculator" -> "math",
+    "sql" -> "code",
+    "email" -> "comms",
+    "calendar" -> "comms",
+    "weather" -> "api",
+    "translate" -> "nlp")
+
+  val toolNames: Seq[String] = toolDim.map(_._1) :+ "mystery_tool"
+
+  /** Levels embedded in generated text lines. */
+  val levels: Seq[String] = Seq("TRACE", "DEBUG", "INFO", "WARN", "ERROR")
+}

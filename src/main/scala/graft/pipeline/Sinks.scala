@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged, idempotent multi-sink publish (S13-S17).
+  *
+  * The reference's finalize sequence is: write to a temp file, process,
+  * back up, delete, then advance sincedb — checkpoint strictly AFTER the
+  * outputs are safe (s3.rb:376-396). A mid-run crash leaves the
+  * checkpoint untouched and the whole file re-runs (at-least-once,
+  * s3.rb:219-222). We upgrade that to effectively-once per batch:
+  *
+  *   1. write every sink's delta under `_staging/<batchId>/<sink>/`;
+  *   2. atomically rename each to `<sink>/batch=<batchId>/` (local/HDFS
+  *      rename is atomic per directory);
+  *   3. append the lineage commit rows (Lineage.commit) LAST.
+  *
+  * `batchId` is a pure function of (asOf, checkpoint state), so a crashed
+  * run re-executed on the same state republishes the SAME batch
+  * directories (idempotent), and readers ([[readSink]]) only see batches
+  * recorded in lineage — an orphaned publish from a crash between (2)
+  * and (3) is invisible until its re-run commits.
+  *
+  * The physical write is salted-repartitioned on conv_id then
+  * secondary-sorted on (conv_id, turn_idx): hot conversations spread
+  * across `saltBuckets` writers (skew defense) while per-conversation
+  * turn order within each output file stays stable (the north star's
+  * "salted repartitioning ... secondary sort on turn_idx").
+  */
+object Sinks {
+
+  def stagingDir(root: String, batchId: String): String =
+    s"$root/_staging/$batchId"
+
+  /** Write the routed delta to per-sink staging dirs. One pass over the
+    * data: partitionBy(sink) splits the fan-out at write time instead of
+    * N filtered jobs re-reading the delta N times.
+    */
+  def writeStaged(routed: DataFrame, root: String, batchId: String,
+      saltBuckets: Int = 16): Unit = {
+    routed
+      .repartition(col("conv_id"),
+        pmod(hash(col("turn_idx")), lit(saltBuckets)))
+      .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
+      .write.mode("overwrite")
+      .partitionBy("sink")
+      .parquet(stagingDir(root, batchId))
+  }
+
+  /** Atomically publish staged sink dirs as `<sink>/batch=<batchId>`.
+    * Idempotent: an existing destination (crashed previous attempt) is
+    * replaced wholesale, never merged.
+    */
+  def publish(spark: SparkSession, root: String, batchId: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new Path(stagingDir(root, batchId))
+    val fs = staging.getFileSystem(conf)
+    if (!fs.exists(staging)) return Seq.empty
+    val published = fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("sink="))
+      .map { s =>
+        val sink = s.getPath.getName.stripPrefix("sink=")
+        val destDir = new Path(s"$root/$sink")
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, s"batch=$batchId")
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(s.getPath, dest)
+        sink
+      }
+    fs.delete(staging, true)
+    published
+  }
+
+  /** Read a sink's COMMITTED contents: only batch dirs present in the
+    * lineage table (snapshot isolation for readers).
+    */
+  def readSink(spark: SparkSession, root: String, sink: String): DataFrame = {
+    val committed = Lineage.committedBatches(spark, root)
+    val dir = new Path(s"$root/$sink")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          committed.contains(p.getName.stripPrefix("batch=")))
+        .map(_.toString)
+    if (batches.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schema.turnSchema)
+    } else spark.read.parquet(batches: _*)
+  }
+}

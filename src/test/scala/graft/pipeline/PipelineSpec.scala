@@ -1,0 +1,285 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val scratch =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pipespec").toString
+
+  val seed = 42L
+  val nConvs = 60L
+
+  // asOf far past every generated ts so the cutoff keeps everything.
+  val farFuture = new Timestamp(Synth.baseEpochMs + 365L * 86400000L)
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+  }
+
+  test("synth is deterministic and parallelism-invariant") {
+    val a = Synth.genConversation(seed, 0L)
+    val b = Synth.genConversation(seed, 0L)
+    assert(a == b)
+    val t8 = Synth.turns(spark, seed, 20L).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val t1 = (0L until 20L).flatMap(Synth.genConversation(seed, _))
+      .sortBy(t => (t.conv_id, t.turn_idx))
+    assert(t8.toSeq == t1)
+  }
+
+  test("synth exercises every parse path") {
+    val ts = Synth.turns(spark, seed, 100L).cache()
+    val parsed = Parse.parseColumns(ts.toDF())
+    val byKind = parsed.select(
+      sum(when(col("parse_ok"), 1).otherwise(0)).as("ok"),
+      sum(when(col("is_header"), 1).otherwise(0)).as("hdr"),
+      sum(when(col("is_continuation"), 1).otherwise(0)).as("cont"),
+      sum(when(!col("parse_ok") && !col("is_header") && !col("is_continuation"), 1)
+        .otherwise(0)).as("garbage"),
+      sum(when(size(col("tool_calls")) > 0, 1).otherwise(0)).as("tools")
+    ).head()
+    assert(byKind.getLong(0) > 0, "grok-conformant lines")
+    assert(byKind.getLong(1) > 0, "header lines")
+    assert(byKind.getLong(2) > 0, "continuation lines")
+    assert(byKind.getLong(3) > 0, "dead-letter lines")
+    assert(byKind.getLong(4) > 0, "tool-call markers")
+    ts.unpersist()
+  }
+
+  test("typed mapPartitions parse == column parse") {
+    val ts = Synth.turns(spark, seed, 30L)
+    val typed = Parse.parseTyped(ts)
+      .select($"conv_id", $"turn_idx", $"level", $"body",
+        $"tool_calls", $"header_version", $"is_continuation")
+    val cols = Parse.parseColumns(ts.toDF())
+      .select($"conv_id", $"turn_idx", $"level", $"body",
+        $"tool_calls", $"header_version", $"is_continuation")
+    assert(typed.exceptAll(cols).isEmpty && cols.exceptAll(typed.toDF()).isEmpty)
+  }
+
+  test("chunked header propagation == naive full-conversation window") {
+    val parsed = Parse.parseColumns(Synth.turns(spark, seed, 50L).toDF())
+    // tiny chunk size forces the multi-chunk carry-in path
+    val chunked = Parse.propagateHeaders(parsed, chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"header")
+    val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = parsed
+      .withColumn("header", last($"header_version", ignoreNulls = true).over(w))
+      .select($"conv_id", $"turn_idx", $"header")
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+  }
+
+  test("chunked sessionization == naive running sum; merge flushes trailing session") {
+    val parsed = Parse.parseColumns(Synth.turns(spark, seed, 50L).toDF())
+    val chunked = Parse.sessionize(parsed, chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"session_id")
+    val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = parsed
+      .withColumn("session_id",
+        sum(when($"is_continuation", 0L).otherwise(1L)).over(w))
+      .select($"conv_id", $"turn_idx", $"session_id")
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+
+    // merged logical records: session count == number of non-continuation
+    // physical lines (trailing continuation run is flushed, never lost)
+    val sess = Parse.sessionize(parsed, chunkSize = 4)
+    val merged = Parse.mergeSessions(sess)
+    val nStarts = parsed.filter(!$"is_continuation").count()
+    assert(merged.count() == nStarts)
+    assert(merged.agg(sum($"n_lines")).head().getLong(0) == parsed.count())
+  }
+
+  test("multiline merge golden case: 4 physical lines -> 2 logical records") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val fixture = Seq(
+      Turn("c1", 0, "user", "2025-01-01T00:00:00Z INFO [user] first line", null, ts0),
+      Turn("c1", 1, "user", "   continuation of first", null, ts0),
+      Turn("c1", 2, "assistant", "2025-01-01T00:00:02Z INFO [assistant] second line", null, ts0),
+      Turn("c1", 3, "assistant", "   trailing continuation (EOF flush)", null, ts0)
+    ).toDS()
+    val merged = Parse.mergeSessions(
+      Parse.sessionize(Parse.parseColumns(fixture.toDF())))
+      .orderBy($"turn_idx").collect()
+    assert(merged.length == 2)
+    assert(merged(0).getAs[String]("merged_text") ==
+      "2025-01-01T00:00:00Z INFO [user] first line\n   continuation of first")
+    assert(merged(1).getAs[String]("merged_text") ==
+      "2025-01-01T00:00:02Z INFO [assistant] second line\n   trailing continuation (EOF flush)")
+  }
+
+  test("header golden case: headers consumed, version stamped on subsequent turns") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // cloudfront.log analog: #Version + #Fields headers then 2 data rows
+    val fixture = Seq(
+      Turn("c1", 0, "system", "#Version: 1.0", null, ts0),
+      Turn("c1", 1, "system", "#Fields: date time", null, ts0),
+      Turn("c1", 2, "user", "2025-01-01T00:00:00Z INFO [user] data row one", null, ts0),
+      Turn("c1", 3, "user", "2025-01-01T00:00:01Z INFO [user] data row two", null, ts0)
+    ).toDS()
+    val routed = Route(Enrich(Parse(fixture)))
+    val out = routed.filter($"sink" =!= "consumed")
+      .select($"turn_idx", $"header").orderBy($"turn_idx").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(out.forall(_.getString(1) == "1.0"))
+    assert(routed.filter($"sink" === "consumed").count() == 2)
+  }
+
+  test("routing is a total partition of the parsed input") {
+    val ts = Synth.turns(spark, seed, nConvs)
+    val routed = Route(Enrich(Parse(ts)), excludePattern = "token").cache()
+    val n = ts.count()
+    assert(routed.count() == n, "no row loss through parse/enrich/route")
+    val perSink = routed.groupBy($"sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSink.values.sum == n)
+    assert(perSink.keySet.subsetOf(Route.sinkNames.toSet))
+    assert(perSink.getOrElse("excluded", 0L) > 0, "exclude pattern fired")
+    assert(perSink.getOrElse("deadletter", 0L) > 0, "dead-letter path fired")
+    // set equality: union of sinks == input (by key + text)
+    val union = routed.select($"conv_id", $"turn_idx", $"text")
+    val input = ts.toDF().select($"conv_id", $"turn_idx", $"text")
+    assert(union.exceptAll(input).isEmpty && input.exceptAll(union).isEmpty)
+    routed.unpersist()
+  }
+
+  test("end-to-end cycle + resume: delta pickup, no-op rerun, crash idempotence") {
+    val inputPath = s"$scratch/input"
+    val sinkRoot = s"$scratch/sinks"
+    val n1 = Synth.writeTable(spark, inputPath, seed, 40L)
+    val cfg = PipelineConfig(inputPath, sinkRoot, excludePattern = "",
+      chunkSize = 64)
+
+    // cycle 1: processes everything
+    val r1 = Main.runCycle(spark, cfg, farFuture)
+    assert(r1.rowsProcessed == n1)
+    val published1 = Route.sinkNames
+      .map(s => Sinks.readSink(spark, sinkRoot, s).count()).sum
+    assert(published1 == n1, "published committed rows == input")
+
+    // cycle 2 with no new data: a strict no-op
+    val r2 = Main.runCycle(spark, cfg, farFuture)
+    assert(r2.rowsProcessed == 0L)
+
+    // append a new snapshot (20 more conversations, later ts per conv ids)
+    val extra = Synth.turns(spark, seed + 1, 10L)
+      .withColumn("ts2",
+        (col("ts").cast("long") + 400L * 86400L).cast("timestamp"))
+      .drop("ts").withColumnRenamed("ts2", "ts")
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .withColumn("conv_id", concat(lit("x-"), $"conv_id"))
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nExtra = extra.count()
+    extra.write.mode("append").partitionBy("day").parquet(inputPath)
+
+    val farFuture2 = new Timestamp(farFuture.getTime + 500L * 86400000L)
+    val r3 = Main.runCycle(spark, cfg, farFuture2)
+    assert(r3.rowsProcessed == nExtra, "only the delta is reprocessed")
+    val publishedAll = Route.sinkNames
+      .map(s => Sinks.readSink(spark, sinkRoot, s).count()).sum
+    assert(publishedAll == n1 + nExtra)
+
+    // crash simulation: publish happened but lineage commit didn't.
+    // Readers must not see the orphan; the re-run must be idempotent.
+    val wms = Lineage.watermarks(spark, sinkRoot)
+    // `more` rows land ~900-960 days after base; asOf3 must be beyond them
+    val asOf3 = new Timestamp(Synth.baseEpochMs + 2000L * 86400000L)
+    val more = Synth.turns(spark, seed + 2, 5L)
+      .withColumn("ts2",
+        (col("ts").cast("long") + 900L * 86400L).cast("timestamp"))
+      .drop("ts").withColumnRenamed("ts2", "ts")
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .withColumn("conv_id", concat(lit("y-"), $"conv_id"))
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nMore = more.count()
+    more.write.mode("append").partitionBy("day").parquet(inputPath)
+
+    // partial run: staged write + publish, NO lineage commit (the crash)
+    val batchId = Lineage.batchId(asOf3, wms)
+    val delta = Discover.delta(spark, cfg, asOf3, wms)
+    val routed = Route(Enrich(Parse(delta.as[Turn], cfg.chunkSize)),
+      cfg.excludePattern)
+    Sinks.writeStaged(routed, sinkRoot, batchId, cfg.saltBuckets)
+    Sinks.publish(spark, sinkRoot, batchId)
+    // orphan batch is invisible to committed readers
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, sinkRoot, s).count()).sum
+    assert(visible == n1 + nExtra, "uncommitted publish is invisible")
+
+    // re-run (same asOf -> same batch id): republish idempotently + commit
+    val r4 = Main.runCycle(spark, cfg, asOf3)
+    assert(r4.batchId == batchId, "batch id is a pure function of state")
+    assert(r4.rowsProcessed == nMore)
+    val finalCount = Route.sinkNames
+      .map(s => Sinks.readSink(spark, sinkRoot, s).count()).sum
+    assert(finalCount == n1 + nExtra + nMore, "no duplicates after crash re-run")
+
+    // per-turn text byte-equality under stable (conv_id, turn_idx) order
+    val roundTrip = Route.sinkNames
+      .map(s => Sinks.readSink(spark, sinkRoot, s)
+        .select($"conv_id", $"turn_idx", $"text"))
+      .reduce(_ unionByName _)
+    val source = spark.read.parquet(inputPath)
+      .select($"conv_id", $"turn_idx", $"text")
+    assert(roundTrip.exceptAll(source).isEmpty &&
+      source.exceptAll(roundTrip).isEmpty)
+  }
+
+  test("cutoff defers too-fresh rows to the next cycle (spec:559-584 analog)") {
+    val inputPath = s"$scratch/cutoff_in"
+    val sinkRoot = s"$scratch/cutoff_sinks"
+    Synth.writeTable(spark, inputPath, seed, 5L)
+    val cfg = PipelineConfig(inputPath, sinkRoot, cutoffSeconds = 3)
+    val maxTs = spark.read.parquet(inputPath)
+      .agg(max($"ts")).head().getTimestamp(0)
+
+    // asOf such that the newest row is inside the cutoff window
+    val asOf1 = new Timestamp(maxTs.getTime + 1000L) // 1s after newest
+    val r1 = Main.runCycle(spark, cfg, asOf1)
+    val total = spark.read.parquet(inputPath).count()
+    assert(r1.rowsProcessed < total, "rows within cutoff are deferred")
+    assert(r1.rowsProcessed ==
+      spark.read.parquet(inputPath)
+        .filter($"ts" <= new Timestamp(asOf1.getTime - 3000L)).count())
+
+    // next cycle picks up exactly the deferred remainder
+    val asOf2 = new Timestamp(maxTs.getTime + 10000L)
+    val r2 = Main.runCycle(spark, cfg, asOf2)
+    assert(r1.rowsProcessed + r2.rowsProcessed == total)
+  }
+
+  test("empty/missing lineage reads as epoch watermark (sincedb_spec analog)") {
+    assert(Lineage.watermarks(spark, s"$scratch/nonexistent").isEmpty)
+    val df = Lineage.read(spark, s"$scratch/nonexistent")
+    assert(df.isEmpty)
+  }
+
+  test("enrich: left joins preserve rows; unmapped tool -> null category") {
+    val ts = Synth.turns(spark, seed, nConvs)
+    val enriched = Enrich(Parse(ts))
+    assert(enriched.count() == ts.count())
+    val mystery = enriched.filter($"tool" === "mystery_tool")
+    assert(mystery.count() > 0)
+    assert(mystery.filter($"tool_category".isNotNull).count() == 0)
+    assert(enriched.filter($"actor_class".isNull).count() == 0)
+  }
+}
