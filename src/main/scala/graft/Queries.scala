@@ -1,0 +1,772 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** The driver-contract query set: every SURVEY.md §2 operator re-expressed
+  * over the driver's parquet tables (TESTDATA.md), each paired with
+  * ANSI-SQL oracle text executable by DuckDB on the same tables.
+  *
+  * Parity rules used throughout (Spark <-> DuckDB hash-equality):
+  *  - integers out wherever possible; DuckDB integer sums are cast to
+  *    BIGINT (they default to HUGEINT);
+  *  - doubles only after round(x, d) at a digit where both engines hold
+  *    the same exact value (sums of k-decimal data rounded at >= k);
+  *  - float64 accumulation on both sides for vector math, round(6);
+  *  - timestamps formatted to strings;
+  *  - explicit ORDER BY on both sides;
+  *  - all hash material is md5 (identical hex in both engines).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- //
+  // Pipeline-semantics queries over `events` (the log-stream analog)  //
+  // ---------------------------------------------------------------- //
+
+  /** S4+S5: watermark + freshness-cutoff discovery predicates
+    * (s3.rb:151-154) with an injected deterministic clock.
+    */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") > lit("2024-01-02 00:00:00").cast("timestamp"))
+      .filter(col("ts") <= lit("2024-01-06 00:00:00").cast("timestamp")
+        - expr("INTERVAL 3 SECONDS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy(col("event_type"))
+
+  val q02Sql: String =
+    """SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+       FROM events
+       WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+         AND ts <= TIMESTAMP '2024-01-06 00:00:00' - INTERVAL 3 SECOND
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** S7d: exclude_pattern regex filter (s3.rb:76, 369). */
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(!col("props").rlike("\"k\": 8\\d"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q03Sql: String =
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE NOT regexp_matches(props, '"k": 8\d')
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** S3: zero/short-content skip (s3.rb:149). */
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("n_chars") >= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  val q04Sql: String =
+    """SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents WHERE n_chars >= 200
+       GROUP BY source ORDER BY source"""
+
+  /** S8: discovery sort oldest-first — first 3 events per user
+    * (s3.rb:166).
+    */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val q05Sql: String =
+    """SELECT user_id, event_id, rn FROM (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) WHERE rn <= 3 ORDER BY user_id, rn"""
+
+  /** P1/grok: regex field extraction from a raw string column
+    * (the codec-decode analog, s3.rb:224-239).
+    */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q06Sql: String =
+    """SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** P5: per-group header propagation — last marker value carried onto
+    * subsequent rows (s3.rb:280-290). Uses the scale-safe chunked prefix
+    * scan (PrefixOps), which this oracle proves equal to the windowed
+    * IGNORE NULLS semantics.
+    */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("marker",
+        when(col("event_type") === "signup", col("event_id")))
+    graft.pipeline.PrefixOps.propagateLastNonNull(
+        ev, col("marker"), "hdr",
+        chunkSize = 64, convCol = "user_id", idxCol = "event_id")
+      .select(col("user_id"), col("event_id"), col("hdr"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q07Sql: String =
+    """SELECT user_id, event_id,
+       last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hdr
+       FROM events ORDER BY user_id, event_id"""
+
+  /** P3: sessionization by boundary markers (multiline codec analog,
+    * spec:479-491) — running count of boundaries via the chunked prefix
+    * sum.
+    */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.pipeline.PrefixOps.prefixSum(ev,
+        when(col("event_type") === "signup", lit(1)).otherwise(lit(0)),
+        "session_id", chunkSize = 64, convCol = "user_id",
+        idxCol = "event_id")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q08Sql: String =
+    """WITH s AS (
+         SELECT user_id, event_id,
+                SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM events)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(event_id) AS first_event, max(event_id) AS last_event
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** §2.3: broadcast-hash-join enrichment (dim tables always broadcast). */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"))
+
+  val q09Sql: String =
+    """SELECT r_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  /** S13-S16: predicate routing fan-out — every row to exactly one sink. */
+  private val routingCase: Column =
+    when(col("event_type") === "error", lit("deadletter"))
+      .when(col("value") > 150.0, lit("excluded"))
+      .when(col("event_type").isin("purchase", "signup"), lit("conversions"))
+      .otherwise(lit("activity"))
+
+  private val routingCaseSql: String =
+    """CASE WHEN event_type = 'error' THEN 'deadletter'
+            WHEN value > 150.0 THEN 'excluded'
+            WHEN event_type IN ('purchase','signup') THEN 'conversions'
+            ELSE 'activity' END"""
+
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("sink", routingCase)
+      .groupBy(col("sink"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("sink"))
+
+  val q10Sql: String =
+    s"""SELECT $routingCaseSql AS sink, count(*) AS n,
+        round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** §2.7: routed-row set equality — union of sinks == input, proven by
+    * EXCEPT ALL in both directions (the north rule's invariant).
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val routed = ev.withColumn("sink", routingCase)
+    val total = ev.count()
+    val routedN = routed.count()
+    val missing = ev.select(col("event_id"))
+      .exceptAll(routed.select(col("event_id"))).count()
+    val extra = routed.select(col("event_id"))
+      .exceptAll(ev.select(col("event_id"))).count()
+    Seq((total, routedN, missing, extra))
+      .toDF("total_rows", "routed_rows", "missing_rows", "extra_rows")
+  }
+
+  val q11Sql: String =
+    s"""WITH r AS (SELECT event_id, $routingCaseSql AS sink FROM events)
+        SELECT (SELECT count(*) FROM events) AS total_rows,
+               (SELECT count(*) FROM r) AS routed_rows,
+               (SELECT count(*) FROM (SELECT event_id FROM events
+                  EXCEPT ALL SELECT event_id FROM r) x) AS missing_rows,
+               (SELECT count(*) FROM (SELECT event_id FROM r
+                  EXCEPT ALL SELECT event_id FROM events) y) AS extra_rows"""
+
+  /** §2.4: tumbling hour-window aggregates. */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("hour_start"))
+
+  val q12Sql: String =
+    """SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** §2.8: checkpoint identity md5(bucket+prefix) (s3.rb:340). */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source")).distinct()
+      .withColumn("sincedb_id", md5(concat(col("source"), lit("+transcripts"))))
+      .orderBy(col("source"))
+
+  val q13Sql: String =
+    """SELECT source, md5(source || '+transcripts') AS sincedb_id
+       FROM (SELECT DISTINCT source FROM documents) ORDER BY source"""
+
+  /** P2: JSON codec decode (spec:341-441). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_parsed"))
+      .orderBy(col("event_type"))
+
+  val q14Sql: String =
+    """SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(props->>'k') AS n_parsed
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** §2.6: top-k with deterministic tie-break. */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q15Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
+       FROM orders ORDER BY price DESC, o_orderkey LIMIT 10"""
+
+  /** §2.7: set operations (intersect / except). */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    def users(et: String) =
+      ev.filter(col("event_type") === et).select(col("user_id")).distinct()
+    val nBoth = users("purchase").intersect(users("error")).count()
+    val nViewOnly = users("view").except(users("click")).count()
+    Seq((nBoth, nViewOnly)).toDF("n_both", "n_view_only")
+  }
+
+  val q16Sql: String =
+    """SELECT
+       (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type='error') a) AS n_both,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='view'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type='click') b) AS n_view_only"""
+
+  /** §2.8: the scalar-function battery (startswith/endswith/trim/
+    * regexp_extract/concat/md5/substring).
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        col("text").startsWith("the").as("sw"),
+        col("text").endsWith("dup").as("ew"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        substring(md5(col("text")), 1, 8).as("h8"),
+        upper(substring(col("text"), 1, 5)).as("head5"))
+      .orderBy(col("doc_id"))
+
+  val q17Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+       starts_with(text, 'the') AS sw, ends_with(text, 'dup') AS ew,
+       regexp_extract(text, '^(\w+)', 1) AS first_word,
+       substr(md5(text), 1, 8) AS h8,
+       upper(substr(text, 1, 5)) AS head5
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
+  /** S6: storage-class / restore eligibility filter (Glacier analog,
+    * s3.rb:428-444): cold rows excluded unless "restored".
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("lang") =!= "zh" || col("n_chars") % 7 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eligible"),
+        sum(when(col("n_chars") % 7 === 0, 1L).otherwise(0L))
+          .as("n_restored"))
+      .orderBy(col("lang"))
+
+  val q18Sql: String =
+    """SELECT lang, count(*) AS n_eligible,
+       CAST(sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+       FROM documents WHERE lang <> 'zh' OR n_chars % 7 = 0
+       GROUP BY lang ORDER BY lang"""
+
+  /** TPC-H Q1-ish flagship aggregate. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------- //
+  // Training-data ops over `documents` / `embeddings`                 //
+  // ---------------------------------------------------------------- //
+
+  /** Exact dedup: normalized-md5 fingerprint cardinality per source. */
+  def d01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
+      .orderBy(col("source"))
+
+  val d01Sql: String =
+    """SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct
+       FROM documents GROUP BY source ORDER BY source"""
+
+  /** Token counting. */
+  def d02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val d02Sql: String =
+    """SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+       FROM documents ORDER BY doc_id"""
+
+  /** Quality-score features. */
+  def d03(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_punct").cast("long").as("n_punct"),
+        col("stopword_hits").cast("long").as("stopword_hits"),
+        col("mean_token_len_x1000"), col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  val d03Sql: String =
+    """WITH t AS (SELECT doc_id, trim(text) AS tt,
+           regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+       SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(length(tt) - length(regexp_replace(tt, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS BIGINT) AS stopword_hits,
+         CAST(floor((length(tt) - (len(w) - 1)) * 1000.0 / len(w)) AS BIGINT) AS mean_token_len_x1000,
+         (len(w) >= 5 AND len(w) <= 100000 AND
+          len(list_filter(w, x -> x IN ('the','a','of','and'))) > 0) AS quality_ok
+       FROM t ORDER BY doc_id"""
+
+  /** Language-ID by marker voting. */
+  def d04(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdColumns(t(spark, dir, "documents"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  val d04Sql: String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val markers = TextAnalysis.langMarkers(l)
+        .map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($markers))) AS BIGINT) AS s_$l"
+    }.mkString(",\n         ")
+    // mirror of the Scala fold: earliest lang (sorted) with the max score
+    val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = g THEN '$l'")
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       s AS (SELECT doc_id, lang, $scoreCols FROM t),
+       p AS (SELECT doc_id, lang, $greatest AS g,
+             ${langs.map("s_" + _).mkString(", ")} FROM s)
+       SELECT lang, CASE WHEN g <= 0 THEN 'und' $caseChain END AS lang_pred,
+              count(*) AS n
+       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** Document fingerprint (normalized md5). */
+  def d05(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val d05Sql: String =
+    """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+       FROM documents ORDER BY doc_id"""
+
+  /** n-gram Jaccard between same-source doc pairs (integer outputs). */
+  def d06(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 60)
+    val pairs = docs.select(col("doc_id").as("id_a"), col("source").as("s_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("s_b")),
+        col("s_a") === col("s_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"),
+        col("inter").cast("long").as("inter"),
+        col("union_").cast("long").as("union_"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d06Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents WHERE doc_id < 60),
+       sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM d a JOIN d b ON a.source = b.source
+                  AND a.doc_id < b.doc_id),
+       inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+                 FROM pairs p
+                 JOIN sh sa ON sa.doc_id = p.id_a
+                 JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+                 GROUP BY p.id_a, p.id_b)
+       SELECT p.id_a, p.id_b,
+              CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+              CAST(na.n + nb.n - COALESCE(i.i, 0) AS BIGINT) AS union_
+       FROM pairs p
+       JOIN sizes na ON na.doc_id = p.id_a
+       JOIN sizes nb ON nb.doc_id = p.id_b
+       LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       ORDER BY p.id_a, p.id_b"""
+
+  /** MinHash signatures (8 hashes over 3-shingles). */
+  def d07(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(
+        t(spark, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 8)
+      .orderBy(col("doc_id"))
+
+  val d07Sql: String = {
+    val mins = (0 until 8)
+      .map(i => s"min(substr(md5('$i|' || s), 1, 8)) AS mh$i")
+      .mkString(",\n              ")
+    s"""WITH d AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+           FROM documents WHERE doc_id < 50),
+       sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i))
+       SELECT doc_id, $mins
+       FROM sh GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** MinHash-LSH candidate pairs (band bucket join, no all-pairs). */
+  def d08(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(t(spark, dir, "documents"),
+      "doc_id", "text", 3, 8)
+    Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d08Sql: String = {
+    val mins = (0 until 8)
+      .map(i => s"min(substr(md5('$i|' || s), 1, 8)) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+       mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       bands AS ($bandSelects),
+       sizes AS (SELECT band, sig, count(*) AS n FROM bands
+                 GROUP BY band, sig HAVING count(*) > 1 AND count(*) <= 1000)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bands a
+       JOIN sizes sz ON sz.band = a.band AND sz.sig = a.sig
+       JOIN bands b ON b.band = a.band AND b.sig = a.sig
+        AND a.doc_id < b.doc_id
+       ORDER BY id_a, id_b"""
+  }
+
+  /** 16-bit SimHash per doc. */
+  def d09(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val d09Sql: String = {
+    val votes = (0 until 16).map { i =>
+      s"""SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tk), ${i + 1}, 1)) - 1) % 2 = 1
+          THEN 1 ELSE -1 END) AS v$i"""
+    }.mkString(",\n           ")
+    val bits = (0 until 16)
+      .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       tok AS (SELECT DISTINCT doc_id, tk FROM d,
+               UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tk)),
+       votes AS (SELECT doc_id,
+           $votes
+           FROM tok GROUP BY doc_id)
+       SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       FROM votes ORDER BY doc_id"""
+  }
+
+  /** Brute-force cosine top-10 vs the vec_id=0 embedding (float64
+    * accumulation; ordered by the ROUNDED score so selection is
+    * engine-independent).
+    */
+  def e01(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query: Seq[Double] = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    emb.select(col("vec_id"),
+        round(Similarity.cosineWithLiteral(col("embedding"), query), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val e01Sql: String =
+    """WITH qe AS (SELECT generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v FROM embeddings WHERE vec_id = 0),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v FROM embeddings),
+       nq AS (SELECT sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM qe),
+       dots AS (SELECT be.vec_id, sum(be.v::DOUBLE * qe.v::DOUBLE) AS d,
+                sqrt(sum(be.v::DOUBLE * be.v::DOUBLE)) AS nb
+                FROM be JOIN qe ON be.i = qe.i GROUP BY be.vec_id)
+       SELECT vec_id, round(d / (nb * nq.n), 6) AS cosine
+       FROM dots, nq ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** Embedding-cosine near-dup pairs among vec_id < 300. */
+  def e02(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+    val dot = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    pairs.select(col("id_a"), col("id_b"),
+        round(dot / (Similarity.norm(col("va")) * Similarity.norm(col("vb"))),
+          6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val e02Sql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v FROM embeddings WHERE vec_id < 300),
+       norms AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+                 FROM e GROUP BY vec_id),
+       dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                sum(a.v::DOUBLE * b.v::DOUBLE) AS d
+                FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2)
+       SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+       FROM dots JOIN norms na ON na.vec_id = id_a
+       JOIN norms nb ON nb.vec_id = id_b
+       WHERE round(d / (na.n * nb.n), 6) >= 0.35
+       ORDER BY id_a, id_b"""
+
+  /** Sign-random-projection LSH bucket per vector (deterministic md5-
+    * derived hyperplanes, reproducible in any engine).
+    */
+  val lshPlanes = 8
+  val lshDims = 64
+
+  def e03(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), lshDims, lshPlanes)
+          .as("bucket"))
+      .orderBy(col("vec_id"))
+
+  val e03Sql: String = {
+    val planeRows = (0 until lshDims).map { d =>
+      val comps = (0 until lshPlanes)
+        .map(p => Similarity.planeComponent(p, d).toString)
+        .mkString(", ")
+      s"(${d + 1}, $comps)"
+    }.mkString(",\n         ")
+    val dotCols = (0 until lshPlanes)
+      .map(p => s"sum(v::DOUBLE * p$p) AS d$p").mkString(", ")
+    val bucketExpr = (0 until lshPlanes)
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pl(i, ${(0 until lshPlanes).map("p" + _).mkString(", ")}) AS (
+         VALUES $planeRows),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       dots AS (SELECT vec_id, $dotCols
+                FROM be JOIN pl ON be.i = pl.i GROUP BY vec_id)
+       SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket
+       FROM dots ORDER BY vec_id"""
+  }
+
+  // ---------------------------------------------------------------- //
+  // No-oracle showcase queries (driver records rows-only checks)      //
+  // ---------------------------------------------------------------- //
+
+  /** Full transcript pipeline fan-out on synthesized data. */
+  def p01(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline._
+    val ts = Synth.turns(spark, 42L, 200L)
+    Route(Enrich(Parse(ts)), excludePattern = "token")
+      .groupBy(col("sink")).agg(count(lit(1)).as("n_turns"))
+      .orderBy(col("sink"))
+  }
+
+  /** Pipeline per-sink hourly aggregate. */
+  def p02(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline._
+    val ts = Synth.turns(spark, 42L, 200L)
+    Aggregate.bySinkHour(Route(Enrich(Parse(ts))))
+      .withColumn("hour_start",
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy(col("sink"), col("hour_start"))
+  }
+
+  /** Multimodal decode/feature plumbing (stubbed codec, real dataflow). */
+  def m01(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.synthMedia(spark, 500L)
+    Multimodal.decodeFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_lineitem_agg" -> (q01 _),
+    "q02_watermark_cutoff" -> (q02 _),
+    "q03_exclude_pattern" -> (q03 _),
+    "q04_zero_length_skip" -> (q04 _),
+    "q05_discovery_sort" -> (q05 _),
+    "q06_grok_extract" -> (q06 _),
+    "q07_header_propagation" -> (q07 _),
+    "q08_sessionize" -> (q08 _),
+    "q09_broadcast_enrich" -> (q09 _),
+    "q10_routing_fanout" -> (q10 _),
+    "q11_routed_equality" -> (q11 _),
+    "q12_hourly_window" -> (q12 _),
+    "q13_checkpoint_identity" -> (q13 _),
+    "q14_json_decode" -> (q14 _),
+    "q15_topk" -> (q15 _),
+    "q16_set_ops" -> (q16 _),
+    "q17_scalar_battery" -> (q17 _),
+    "q18_storage_class_filter" -> (q18 _),
+    "d01_dedup_exact" -> (d01 _),
+    "d02_token_count" -> (d02 _),
+    "d03_quality_score" -> (d03 _),
+    "d04_langid" -> (d04 _),
+    "d05_fingerprint" -> (d05 _),
+    "d06_ngram_jaccard" -> (d06 _),
+    "d07_minhash" -> (d07 _),
+    "d08_minhash_lsh_pairs" -> (d08 _),
+    "d09_simhash" -> (d09 _),
+    "e01_cosine_topk" -> (e01 _),
+    "e02_cosine_neardup" -> (e02 _),
+    "e03_lsh_buckets" -> (e03 _),
+    "p01_pipeline_fanout" -> (p01 _),
+    "p02_pipeline_hourly" -> (p02 _),
+    "m01_multimodal_features" -> (m01 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" -> q01Sql,
+    "q02_watermark_cutoff" -> q02Sql,
+    "q03_exclude_pattern" -> q03Sql,
+    "q04_zero_length_skip" -> q04Sql,
+    "q05_discovery_sort" -> q05Sql,
+    "q06_grok_extract" -> q06Sql,
+    "q07_header_propagation" -> q07Sql,
+    "q08_sessionize" -> q08Sql,
+    "q09_broadcast_enrich" -> q09Sql,
+    "q10_routing_fanout" -> q10Sql,
+    "q11_routed_equality" -> q11Sql,
+    "q12_hourly_window" -> q12Sql,
+    "q13_checkpoint_identity" -> q13Sql,
+    "q14_json_decode" -> q14Sql,
+    "q15_topk" -> q15Sql,
+    "q16_set_ops" -> q16Sql,
+    "q17_scalar_battery" -> q17Sql,
+    "q18_storage_class_filter" -> q18Sql,
+    "d01_dedup_exact" -> d01Sql,
+    "d02_token_count" -> d02Sql,
+    "d03_quality_score" -> d03Sql,
+    "d04_langid" -> d04Sql,
+    "d05_fingerprint" -> d05Sql,
+    "d06_ngram_jaccard" -> d06Sql,
+    "d07_minhash" -> d07Sql,
+    "d08_minhash_lsh_pairs" -> d08Sql,
+    "d09_simhash" -> d09Sql,
+    "e01_cosine_topk" -> e01Sql,
+    "e02_cosine_neardup" -> e02Sql,
+    "e03_lsh_buckets" -> e03Sql
+  )
+}

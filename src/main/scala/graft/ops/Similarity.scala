@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - [[cosineTopK]] — brute-force exact top-k: one narrow map computing
+  *    the score (the query vector is a broadcast literal, folded into
+  *    codegen) + a tree-reduced top-k. This is the baseline and the
+  *    verifier for the approximate path.
+  *  - [[lshTopK]] — sign-random-projection LSH: each vector hashes to a
+  *    bucket by the sign pattern of `nPlanes` deterministic hyperplanes;
+  *    search only scans the query's bucket (and optionally its Hamming-1
+  *    neighbors). At 100 TB this turns a full-corpus scan into a
+  *    partition-pruned scan when the table is written bucketed by
+  *    `lsh_bucket`.
+  *
+  * Dot products accumulate in float64 in deterministic element order
+  * (`aggregate` over `zip_with` is a sequential fold), so results are
+  * reproducible across partitionings and match an oracle that also
+  * folds in order.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of an array column with a literal
+    * query vector, in float64.
+    */
+  def dotWithLiteral(vec: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    aggregate(zip_with(vec, q, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** L2 norm of an array column, float64. */
+  def norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosineWithLiteral(vec: Column, query: Seq[Double]): Column = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    dotWithLiteral(vec, query) / (norm(vec) * lit(qNorm))
+  }
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * `orderBy(desc, id)` + limit(k) is planned as TakeOrderedAndProject —
+    * a per-partition heap + driver merge, NOT a global sort shuffle.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+        cosineWithLiteral(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component: a fixed function
+    * of (plane, dim) with ~uniform values in [-7.5, 7.5] derived from an
+    * md5 hex digit — shared-nothing reproducibility (any engine,
+    * including a SQL oracle, can regenerate the planes exactly).
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$plane|dim$dim".getBytes("UTF-8"))
+    ((h(0) & 0xff) % 16) - 7.5
+  }
+
+  /** Sign-random-projection bucket id from `nPlanes` hyperplanes: bit p
+    * = sign(v . plane_p). Buckets are stable across runs and engines.
+    */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = (0 until dims).map(d => planeComponent(p, d))
+      when(dotWithLiteral(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: score only vectors in the query's LSH bucket.
+    * `probeHamming1` widens recall by also probing the nPlanes buckets
+    * at Hamming distance 1 (multi-probe LSH).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nPlanes: Int = 8,
+      probeHamming1: Boolean = true): DataFrame = {
+    val dims = query.length
+    val qBucket = {
+      var b = 0L
+      for (p <- 0 until nPlanes) {
+        val plane = (0 until dims).map(d => planeComponent(p, d))
+        val dot = query.zip(plane).map { case (x, y) => x * y }.sum
+        if (dot >= 0) b |= (1L << p)
+      }
+      b
+    }
+    val probes: Seq[Long] =
+      if (probeHamming1) qBucket +: (0 until nPlanes).map(p => qBucket ^ (1L << p))
+      else Seq(qBucket)
+    df.withColumn("lsh_bucket", lshBucket(col(vecCol), dims, nPlanes))
+      .filter(col("lsh_bucket").isin(probes: _*))
+      .select(col(idCol),
+        cosineWithLiteral(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
+    * formed within a bucket (same no-all-pairs discipline as
+    * [[Dedup.lshCandidatePairs]]), then verified by exact cosine.
+    * At scale, write the corpus bucketed by `lsh_bucket` so this is a
+    * co-partitioned self-join with no shuffle.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double, nPlanes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_b", lshBucket(col("_v"), dims, nPlanes))
+    val sizes = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val eligible = bucketed.join(sizes.select("_b"), Seq("_b"), "left_semi")
+    val pairs = eligible.as("a").join(eligible.as("b"),
+      col("a._b") === col("b._b") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    val dot = aggregate(
+      zip_with(col("a._v"), col("b._v"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    pairs
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot / (norm(col("a._v")) * norm(col("b._v")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

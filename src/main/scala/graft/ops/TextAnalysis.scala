@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * Catalyst column expressions (codegen'd, no UDFs) so they pipeline
+  * inside WholeStageCodegen over a 100 TB scan — each is a narrow map,
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (the "BPE-ish" variant below adds
+    * punctuation splitting). split on `\s+` matches the common
+    * tokenizer contract: no empty trailing tokens.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND
+    * letter/digit/punct boundaries, approximating a byte-pair tokenizer's
+    * token inflation for cost estimation.
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text),
+        "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[\\p{Punct}])|(?=[\\p{Punct}])")))
+
+  /** Stopwords used by quality scoring and language ID. Deterministic,
+    * tiny — inlined as literals so the optimizer constant-folds.
+    */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Count of occurrences of `word` as a whitespace-bounded token. */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(split(text, "\\s+"), t => t === lit(word)))
+
+  /** Quality-score feature columns (length / punctuation / stopword
+    * ratios). Returns the input plus:
+    * n_tokens, n_punct, stopword_hits, mean_token_len (x1000, integer —
+    * exact, no float drift), quality_ok (simple keep/drop heuristic).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    df
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct",
+        length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .withColumn("stopword_hits",
+        size(filter(toks, x => x.isin(enStopwords.map(lit): _*))))
+      .withColumn("mean_token_len_x1000",
+        // floor (not cast) so the rounding rule is engine-independent:
+        // DuckDB CAST(double AS BIGINT) rounds, Spark cast truncates.
+        when(col("n_tokens") > 0,
+          floor((length(trim(t)) - (col("n_tokens") - 1)) * 1000
+            / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+          col("stopword_hits") > 0)
+  }
+
+  /** Language-ID by marker-token voting: a deterministic n-gram-style
+    * heuristic — per language, count hits of characteristic tokens; the
+    * argmax wins, ties broken by language code, zero hits -> "und".
+    * (A real pipeline would use char-trigram profiles; the mechanism —
+    * per-row scoring over a broadcast-foldable literal profile — is
+    * identical and this variant is oracle-checkable in ANSI SQL.)
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "los"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers(lang).map(w => wordOccurrences(text, w))
+      .reduce(_ + _)
+
+  def langIdColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = langMarkers.keys.toSeq.sorted.foldLeft(df) { (d, l) =>
+      d.withColumn(s"score_$l", langScore(t, l))
+    }
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"),
+      lit(l).as("l")))
+    // argmax with deterministic tie-break: highest score, then lowest code
+    val winner = langs.foldLeft(
+      struct(lit(-1).as("s"), lit("und").as("l"))) { (acc, l) =>
+      when(col(s"score_$l") > acc.getField("s"),
+        struct(col(s"score_$l").as("s"), lit(l).as("l"))).otherwise(acc)
+    }
+    scored.withColumn("lang_pred",
+      when(winner.getField("s") <= 0, lit("und"))
+        .otherwise(winner.getField("l")))
+  }
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Identical normalization must be applied by any
+    * system comparing fingerprints (this is the cheap exact-dup key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over tokens — a
+    * content-defined fingerprint that, unlike md5, supports windowed
+    * near-dup chunking. Implemented as a codegen-friendly aggregate
+    * expression over the token array.
+    */
+  def rollingHash(text: Column, prime: Long = 1000000007L): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, tok) => pmod(acc * lit(31L) + pmod(hash(tok).cast("long"),
+        lit(prime)), lit(prime)))
+}
