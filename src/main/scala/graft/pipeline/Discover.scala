@@ -35,10 +35,40 @@ object Discover {
   def cutoffPredicate(asOf: Timestamp, cutoffSeconds: Int): Column =
     col("ts") <= lit(new Timestamp(asOf.getTime - cutoffSeconds * 1000L))
 
+  /** How many committed days may be folded into a literal scan predicate
+    * before we fall back to the broadcast-join path (a predicate tree
+    * thousands of terms wide stresses the analyzer for no gain).
+    */
+  val maxLiteralWatermarkTerms = 400
+
+  /** The S4 watermark predicate as a pure literal Column over
+    * (day, ts): `day NOT IN committed  OR  (day = d AND ts > wm_d) ...`.
+    *
+    * Because every leaf is a literal comparison on the `day` partition
+    * column or the `ts` data column, Catalyst pushes it INTO the scan:
+    * fully-committed days prune at the partition level where possible
+    * and, crucially, Parquet row-group stats (`max(ts) <= wm`) skip
+    * already-processed row groups without reading them — the 100 TB
+    * behavior the reference gets from server-side prefix listing
+    * (s3.rb:144). A broadcast join can never give the scan that.
+    */
+  def watermarkPredicate(wms: Map[String, Timestamp]): Column = {
+    val days = wms.keys.toSeq.sorted
+    val newDay = !col("day").isin(days: _*)
+    wms.toSeq.sortBy(_._1).foldLeft(newDay) { case (acc, (d, t)) =>
+      acc || (col("day") === lit(d) && col("ts") > lit(t))
+    }
+  }
+
   /** Discover the unprocessed delta of the transcript table: rows newer
     * than each partition's committed watermark and older than the
     * freshness cutoff. Returns a DataFrame with the input schema plus
     * the `day` partition column.
+    *
+    * Small watermark maps (the common case: one entry per partition day)
+    * become a scan-pushable literal predicate ([[watermarkPredicate]]);
+    * degenerate maps fall back to a broadcast join — semantically
+    * identical (tested), just not scan-pushable.
     */
   def delta(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
       wms: Map[String, Timestamp]): DataFrame = {
@@ -47,17 +77,21 @@ object Discover {
         Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType))
       .parquet(cfg.inputPath)
 
-    // Broadcast watermark lookup (one row per day ever committed — tiny).
-    val wmDf = wms.toSeq.toDF("day", "wm")
-    val withWm =
-      if (wms.isEmpty) input.withColumn("wm", lit(null).cast("timestamp"))
-      else input.join(broadcast(wmDf), Seq("day"), "left")
+    val watermarked =
+      if (wms.isEmpty) input
+      else if (wms.size <= maxLiteralWatermarkTerms)
+        input.filter(watermarkPredicate(wms)) // S4, pushed into the scan
+      else {
+        // fallback: broadcast watermark lookup (one row per day — tiny)
+        val wmDf = wms.toSeq.toDF("day", "wm")
+        input.join(broadcast(wmDf), Seq("day"), "left")
+          .filter(col("wm").isNull || col("ts") > col("wm")) // S4
+          .drop("wm")
+      }
 
-    withWm
-      .filter(col("wm").isNull || col("ts") > col("wm")) // S4 watermark
+    watermarked
       .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
       .filter(length(col("text")) > 0) // S3 zero-length skip
-      .drop("wm")
   }
 
   /** New high watermark per day in the delta (for the lineage commit). */

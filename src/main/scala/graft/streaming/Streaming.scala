@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.pipeline._
+
+/** Structured Streaming surface of the transcript pipeline.
+  *
+  * The reference is a polling ingest loop: `Stud.interval(@interval)`
+  * re-lists the bucket every 60s and processes the new files
+  * (reference: lib/logstash/inputs/s3.rb:130-136), with
+  * `watch_for_new_files=false` meaning "one listing, then stop"
+  * (s3.rb:125-127). Structured Streaming maps both modes directly:
+  *
+  *  - `Trigger.ProcessingTime("60 seconds")` == the polling loop (S18);
+  *  - `Trigger.AvailableNow` == watch_for_new_files=false: drain what
+  *    exists, then stop;
+  *  - the file-source's own tracking of seen files inside
+  *    `checkpointLocation` == the sincedb (S17): a restarted query
+  *    resumes exactly where it stopped, at-least-once upgraded to
+  *    exactly-once for the file source + foreachBatch idempotent sinks;
+  *  - `withWatermark("ts", "3 seconds")` == CUTOFF_SECOND (S5,
+  *    s3.rb:91): tolerate 3s of event-time disorder before finalizing
+  *    windows.
+  *
+  * Two processing shapes are provided:
+  *
+  *  1. [[runForeachBatch]] — the production shape. Each micro-batch runs
+  *     the SAME batch operators (Parse -> Enrich -> Route) and appends
+  *     per-sink output; the full operator set (including the chunked
+  *     prefix scans, which need sorting) is legal inside foreachBatch.
+  *
+  *  2. [[streamingAggregates]] — a pure-streaming stateful aggregation:
+  *     watermarked tumbling-hour per-sink counts in update mode (the
+  *     reference's "metrics" analog with real late-data semantics).
+  *
+  * Plus [[StatefulHeaders.propagate]] — per-conversation header
+  * propagation (P5, s3.rb:280-290) as `flatMapGroupsWithState`: the
+  * carried `#Version:` header is genuine keyed state that survives
+  * across micro-batches, which no per-batch window can do.
+  */
+object Streaming {
+
+  /** File-source stream over a (possibly growing) transcript table dir.
+    * Parquet streaming source requires an explicit schema; new files
+    * appearing under the path are discovered per trigger — the
+    * `list_new_files` analog (S1) with the source's seen-file log as
+    * the listing watermark.
+    */
+  def readTurns(spark: SparkSession, inputPath: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(Schema.turnSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+
+  /** Production shape: micro-batch = one reference polling cycle.
+    * Parse/Enrich/Route are the identical batch operators; per-sink
+    * rows append under `<sinkRoot>/stream/<sink>/`. Exactly-once comes
+    * from the file source's offset log in `checkpointLocation` plus
+    * the deterministic per-batch output dirs.
+    */
+  def runForeachBatch(spark: SparkSession, inputPath: String,
+      sinkRoot: String, checkpoint: String, excludePattern: String = "",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    readTurns(spark, inputPath).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val turns = batch.as[Turn]
+        val routed = Route(Enrich(Parse(turns)), excludePattern)
+        // per-batch dir + overwrite => a retried micro-batch republishes
+        // the same directory idempotently (no duplicate rows), the same
+        // discipline as the batch pipeline's staged publish (Sinks).
+        routed
+          .repartition(col("conv_id"))
+          .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
+          .write.mode("overwrite").partitionBy("sink")
+          .parquet(s"$sinkRoot/stream/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Pure-streaming per-sink hourly counts with a 3-second event-time
+    * watermark (the CUTOFF analog): late rows within 3s still update
+    * their window; older rows are dropped by the engine exactly like
+    * the reference's cutoff defers in-flight files (s3.rb:153-154).
+    * Routing here uses only stateless column expressions (grok parse +
+    * route predicate), which streaming supports natively.
+    */
+  def streamingAggregates(turns: DataFrame, excludePattern: String = ""): DataFrame = {
+    val parsed = Parse.parseColumns(turns)
+    val routed = Route(parsed, excludePattern)
+    routed
+      .withWatermark("ts", "3 seconds")
+      .groupBy(col("sink"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("sink"), col("window.start").as("hour_start"),
+        col("n_turns"))
+  }
+
+  /** Keyed per-conversation state across micro-batches. */
+  object StatefulHeaders {
+
+    case class HeaderState(headerVersion: String, maxTurnIdx: Int)
+
+    case class Stamped(conv_id: String, turn_idx: Int, role: String,
+        text: String, tool: String, ts: Timestamp, header: String)
+
+    /** P5 as genuine streaming state: the last seen `#Version:` value per
+      * conversation is carried in [[GroupState]] and stamped onto every
+      * later turn — across micro-batch boundaries, which the batch window
+      * cannot see. Within a batch, the group is sorted by turn_idx (the
+      * stable-ordering invariant) so propagation order matches the
+      * reference's serial file read.
+      *
+      * The update function is pure (no clocks), so replays after a
+      * checkpoint recovery produce identical output.
+      */
+    def propagate(turns: org.apache.spark.sql.Dataset[Turn]):
+        org.apache.spark.sql.Dataset[Stamped] = {
+      import turns.sparkSession.implicits._
+      val hdrPattern = Parse.grokDictionary("HEADER_VERSION")
+      turns
+        .groupByKey(_.conv_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(
+          (convId: String, it: Iterator[Turn], state: GroupState[HeaderState]) => {
+            val hdrRe = java.util.regex.Pattern.compile(hdrPattern)
+            var st = state.getOption.getOrElse(HeaderState(null, -1))
+            val out = it.toSeq.sortBy(_.turn_idx).map { t =>
+              val m = hdrRe.matcher(t.text)
+              if (m.matches()) st = HeaderState(m.group(1), t.turn_idx)
+              else if (t.turn_idx > st.maxTurnIdx)
+                st = st.copy(maxTurnIdx = t.turn_idx)
+              Stamped(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+                st.headerVersion)
+            }
+            state.update(st)
+            out.iterator
+          })
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "would this survive 100x
+  * scale-up" checks. Each test pins a property the pipeline relies on
+  * at 10^12-turn scale: scan pushdown, partition pruning, broadcast
+  * (never shuffle) joins for dims, top-k without a global sort.
+  * Regressions here are silent performance cliffs, so they are tested
+  * like correctness.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val scratch = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "planspec").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
+    Synth.writeTable(spark, s"$dir/input", 42L, 30L)
+    dir
+  }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("enrich dims join as BroadcastHashJoin, never SortMergeJoin") {
+    val plan = physical(Enrich(Parse(Synth.turns(spark, 42L, 5L))))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dim join must not shuffle the fact side")
+  }
+
+  test("discover watermark predicate is pushed into the parquet scan") {
+    val cfg = PipelineConfig(s"$scratch/input", s"$scratch/sinks")
+    val wms = Map("2025-01-01" -> new Timestamp(Synth.baseEpochMs + 3600000L))
+    val asOf = new Timestamp(Synth.baseEpochMs + 365L * 86400000L)
+    val plan = Discover.delta(spark, cfg, asOf, wms)
+      .queryExecution.executedPlan.toString
+    // the ts bound must reach the scan as a data filter (row-group stats
+    // skipping) and day must appear in the partition filters
+    assert(plan.contains("PushedFilters:") && plan.contains("ts"),
+      s"expected ts filter pushed to scan, got:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "small watermark maps must be literal predicates, not joins")
+  }
+
+  test("literal watermark predicate == broadcast-join fallback (same delta)") {
+    val cfg = PipelineConfig(s"$scratch/input", s"$scratch/sinks")
+    val asOf = new Timestamp(Synth.baseEpochMs + 365L * 86400000L)
+    // plain reads infer the `day` partition column as DATE; cast back
+    val days = spark.read.parquet(s"$scratch/input")
+      .groupBy($"day".cast("string").as("day"))
+      .agg(avg($"ts".cast("long")).cast("timestamp").as("mid"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    // pick watermarks mid-day for half the days: both paths must agree
+    val wms = days.toSeq.sortBy(_._1).take(days.size / 2).toMap
+    val cols = Schema.turnSchema.fieldNames.map(col).toSeq :+ col("day")
+    val literalPath = Discover.delta(spark, cfg, asOf, wms).select(cols: _*)
+    // the broadcast-join fallback, inlined with identical semantics
+    val wmDf = wms.toSeq.toDF("day", "wm")
+    val joined = spark.read
+      .schema(Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType))
+      .parquet(cfg.inputPath)
+      .join(broadcast(wmDf), Seq("day"), "left")
+      .filter(col("wm").isNull || col("ts") > col("wm"))
+      .drop("wm")
+      .filter(Discover.cutoffPredicate(asOf, cfg.cutoffSeconds))
+      .filter(length(col("text")) > 0)
+      .select(cols: _*)
+    assert(literalPath.exceptAll(joined).isEmpty &&
+      joined.exceptAll(literalPath).isEmpty)
+  }
+
+  test("partition pruning: filter on day scans only matching partitions") {
+    val someDay = spark.read.parquet(s"$scratch/input")
+      .select($"day".cast("string")).head().getString(0)
+    val pruned = spark.read.parquet(s"$scratch/input")
+      .filter($"day" === someDay)
+    pruned.count() // materialize so the AQE final plan is available
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(someDay),
+      s"expected partition filter in scan, got:\n$plan")
+  }
+
+  test("column pruning: narrow projection reads a narrow schema") {
+    val df = spark.read.parquet(s"$scratch/input")
+      .select($"conv_id", $"turn_idx")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"scan must not read unused fat columns:\n$scan")
+  }
+
+  test("cosine top-k plans as TakeOrderedAndProject, not a global sort") {
+    val emb = spark.range(100).select($"id".as("vec_id"),
+      array((0 until 8).map(i => (rand(i) * 2 - 1).cast("float")): _*)
+        .as("embedding"))
+    val topk = graft.ops.Similarity.cosineTopK(emb, "vec_id", "embedding",
+      Seq.fill(8)(0.5), 10)
+    val plan = physical(topk)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heap + driver merge:\n$plan")
+  }
+
+  test("routing + parse stay inside whole-stage codegen") {
+    val routed = Route(Parse.parseColumns(
+      spark.read.parquet(s"$scratch/input")))
+    routed.count() // materialize so the AQE final plan is available
+    val plan = physical(routed)
+    // toString renders WholeStageCodegen stages as a `*(n)` prefix
+    assert(plan.contains("*(1)"),
+      s"parse/route column exprs must be codegen'd:\n$plan")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline._
+
+/** Structured Streaming semantics: micro-batch == reference polling
+  * cycle, checkpointed resume == sincedb, cross-batch keyed state ==
+  * per-file header fold (reference: lib/logstash/inputs/s3.rb:130-136,
+  * 280-290, 446-468).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = graft.pipeline.SparkTestSession.spark
+  import spark.implicits._
+
+  private val scratch =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "streamspec").toString
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+  }
+
+  test("foreachBatch AvailableNow drains the table and matches the batch pipeline; checkpointed restart picks up only the delta") {
+    val input = s"$scratch/input"
+    val sinkRoot = s"$scratch/sinks"
+    val ckpt = s"$scratch/ckpt"
+    val n1 = Synth.writeTable(spark, input, 42L, 30L)
+
+    val q1 = Streaming.runForeachBatch(spark, input, sinkRoot, ckpt)
+    q1.awaitTermination()
+    val out1 = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream")
+    assert(out1.count() == n1, "stream drained the whole table")
+
+    // per-sink counts match the batch pipeline exactly
+    val batchRouted = Route(Enrich(Parse(Synth.turns(spark, 42L, 30L))))
+    val batchCounts = batchRouted.groupBy($"sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamCounts = out1.groupBy($"sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+
+    // append new files; restart from the same checkpoint -> only delta
+    val extra = Synth.turns(spark, 7L, 10L)
+      .withColumn("conv_id", concat(lit("s2-"), $"conv_id"))
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nExtra = extra.count()
+    extra.write.mode("append").partitionBy("day").parquet(input)
+
+    val q2 = Streaming.runForeachBatch(spark, input, sinkRoot, ckpt)
+    q2.awaitTermination()
+    val out2 = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream")
+    assert(out2.count() == n1 + nExtra, "restart processed exactly the delta")
+
+    // per-turn text byte-equality through the streaming path
+    val src = spark.read.parquet(input)
+      .select($"conv_id", $"turn_idx", $"text")
+    val rt = out2.select($"conv_id", $"turn_idx", $"text")
+    assert(rt.exceptAll(src).isEmpty && src.exceptAll(rt).isEmpty)
+  }
+
+  test("watermarked streaming hourly aggregates == batch hourly aggregates after drain") {
+    val input = s"$scratch/agg_input"
+    Synth.writeTable(spark, input, 42L, 20L)
+
+    val streamDf = Streaming.streamingAggregates(
+      Streaming.readTurns(spark, input))
+    val q = streamDf.writeStream
+      .format("memory").queryName("agg_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("agg_out")
+      .select($"sink", $"hour_start", $"n_turns")
+    val batch = Route(Parse.parseColumns(spark.read.parquet(input)))
+      .groupBy($"sink", window($"ts", "1 hour").getField("start").as("hour_start"))
+      .agg(count(lit(1)).as("n_turns"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val out = Streaming.StatefulHeaders.propagate(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("hdr_out")
+      .outputMode("append").start()
+
+    // batch 1: header + one data turn
+    mem.addData(
+      Turn("c1", 0, "system", "#Version: 2.5", null, ts0),
+      Turn("c1", 1, "user", "2025-01-01T00:00:01Z INFO [user] one", null, ts0))
+    q.processAllAvailable()
+    // batch 2: later turns of the SAME conversation, plus a fresh conv
+    mem.addData(
+      Turn("c1", 2, "user", "2025-01-01T00:00:02Z INFO [user] two", null, ts0),
+      Turn("c2", 0, "user", "2025-01-01T00:00:03Z INFO [user] no header", null, ts0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hdr_out")
+      .select($"conv_id", $"turn_idx", $"header")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(rows(("c1", 0)) == "2.5") // header row itself carries it
+    assert(rows(("c1", 1)) == "2.5")
+    assert(rows(("c1", 2)) == "2.5", "state survived the micro-batch boundary")
+    assert(rows(("c2", 0)) == null, "no cross-conversation leakage")
+  }
+}
