@@ -59,19 +59,27 @@ object ScalingBench {
     gen.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    val measured = Seq(n, n4).map { cores =>
+    // Interleave the levels (N, 4N, N, 4N) and take each level's best
+    // run: the sandbox VM sees bursty hypervisor steal, and a single
+    // timing window can be 2x off — per-level minima across interleaved
+    // passes approximate the uncontended machine for BOTH levels.
+    var rows = 0L
+    val best = scala.collection.mutable.Map[Int, Double]()
+    for (pass <- 1 to 2; cores <- Seq(n, n4)) {
       val spark = BenchPipeline.session(cores)
-      BenchPipeline.timePipeline(spark, inputPath) // warmup (JIT + page cache)
+      BenchPipeline.timePipeline(spark, inputPath) // warmup (JIT + codegen)
       val runs = (1 to 3).map(_ => BenchPipeline.timePipeline(spark, inputPath))
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val rows = runs.head._1
-      val best = runs.map(_._2).min
-      val tput = rows / best
-      System.err.println(s"[scaling] cores=$cores rows=$rows sec=$best tput=$tput")
-      (cores, rows, best, tput)
+      rows = runs.head._1
+      val b = runs.map(_._2).min
+      best(cores) = math.min(best.getOrElse(cores, Double.MaxValue), b)
+      System.err.println(s"[scaling] pass=$pass cores=$cores rows=$rows " +
+        s"sec=$b tput=${rows / b}")
     }
-    val Seq((c1, rows, s1, t1), (c2, _, s2, t2)) = measured
+    val (c1, c2) = (n, n4)
+    val (s1, s2) = (best(c1), best(c2))
+    val (t1, t2) = (rows / s1, rows / s2)
     val eff = (t2 / t1) / (c2.toDouble / c1)
     println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
       s""""rows":$rows,"n":{"cores":$c1,"sec":$s1,"turns_per_sec":$t1},""" +
@@ -87,14 +95,21 @@ object BenchPipeline {
   import graft.pipeline._
 
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle to tmpfs when available: the bench isolates COMPUTE
+    // scaling; spinning the ~GB shuffle through the single local disk
+    // would serialize both parallelism levels on the same I/O ceiling
+    // (a real cluster has one set of disks per executor).
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      b.config("spark.local.dir", "/dev/shm/graft-bench-scratch")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -127,12 +142,18 @@ object BenchPipeline {
         Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType))
       .parquet(inputPath)
     import spark.implicits._
-    val routed = Route(Enrich(Parse(turns.as[Turn], chunkSize = 4096)),
-      excludePattern = "token")
+    val routed = Pipeline(turns.as[Turn], excludePattern = "token",
+      chunkSize = 4096)
+    // header/session aggregates keep the prefix-scan outputs live in the
+    // plan — otherwise column pruning could drop the very work the
+    // metric claims to measure.
     val grouped = routed.groupBy(col("sink"), col("role"),
         col("tool_category"),
         window(col("ts"), "1 hour").getField("start").as("hour_start"))
-      .agg(count(lit(1)).as("n_turns"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("header").isNotNull, 1L).otherwise(0L))
+          .as("n_with_header"),
+        max(col("session_id")).as("max_session"))
       .collect()
     val rows = grouped.map(_.getLong(4)).sum
     (rows, (System.nanoTime() - t0) / 1e9)

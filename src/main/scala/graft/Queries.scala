@@ -350,6 +350,65 @@ object Queries {
        FROM documents WHERE lang <> 'zh' OR n_chars % 7 = 0
        GROUP BY lang ORDER BY lang"""
 
+  /** S7c: anti-join re-exclusion — the backup-prefix self-exclusion
+    * analog (s3.rb:365): drop every event of a user who already appears
+    * in the "archived" set (users with an error event), expressed as a
+    * genuine left_anti join rather than a predicate.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val archived = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= 12)
+      .select(col("user_id"))
+    ev.join(archived, Seq("user_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q19Sql: String =
+    """SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+       FROM events
+       WHERE user_id NOT IN
+         (SELECT user_id FROM events WHERE event_type = 'error'
+          GROUP BY user_id HAVING count(*) >= 12)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** P3 output shape: multiline records MERGED into one logical row per
+    * session (boundary = signup), newline-joined in stable event order —
+    * the multiline codec's visible output (spec:479-491) incl. the
+    * trailing EOF flush.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 40)
+    val sess = graft.pipeline.PrefixOps.prefixSum(ev,
+      when(col("event_type") === "signup", lit(1)).otherwise(lit(0)),
+      "session_id", chunkSize = 64, convCol = "user_id", idxCol = "event_id")
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("event_id").as("i"),
+              col("props").as("t")))),
+            x => x.getField("t"))).as("merged"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q20Sql: String =
+    """WITH s AS (
+         SELECT user_id, event_id, props,
+                SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM events WHERE user_id < 40)
+       SELECT user_id, session_id,
+              string_agg(props, chr(10) ORDER BY event_id) AS merged,
+              count(*) AS n_lines
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
   /** TPC-H Q1-ish flagship aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -720,6 +779,8 @@ object Queries {
     "q16_set_ops" -> (q16 _),
     "q17_scalar_battery" -> (q17 _),
     "q18_storage_class_filter" -> (q18 _),
+    "q19_archive_antijoin" -> (q19 _),
+    "q20_multiline_merge" -> (q20 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -756,6 +817,8 @@ object Queries {
     "q16_set_ops" -> q16Sql,
     "q17_scalar_battery" -> q17Sql,
     "q18_storage_class_filter" -> q18Sql,
+    "q19_archive_antijoin" -> q19Sql,
+    "q20_multiline_merge" -> q20Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,

@@ -92,6 +92,11 @@ object Discover {
     watermarked
       .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
       .filter(length(col("text")) > 0) // S3 zero-length skip
+      // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
+      // archive namespace (conv_id carrying the archive prefix) are never
+      // discovered again — the anti-self-join done as a prefix predicate,
+      // exactly as the reference does it.
+      .filter(!col("conv_id").startsWith(cfg.archivePrefix))
   }
 
   /** New high watermark per day in the delta (for the lineage commit). */

@@ -35,13 +35,12 @@ object Main {
     // 2. discovery: the unprocessed, cutoff-eligible delta
     val delta = Discover.delta(spark, cfg, asOf, wms)
 
-    // 3-5. parse -> enrich -> route (all narrow except the prefix scans)
+    // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
+    // so consumers that drop columns shuffle less — see Pipeline)
     import spark.implicits._
-    val parsed = Parse(delta.as[Turn](
-      org.apache.spark.sql.Encoders.product[Turn]).toDF()
-      .as[Turn], cfg.chunkSize)
-    val enriched = Enrich(parsed)
-    val routed = Route(enriched, cfg.excludePattern).cache()
+    val routed = Pipeline(delta.as[Turn](
+      org.apache.spark.sql.Encoders.product[Turn]),
+      cfg.excludePattern, cfg.chunkSize).cache()
 
     // new per-day watermarks from the routed delta (one pass; also the
     // emptiness check)

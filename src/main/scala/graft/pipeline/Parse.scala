@@ -88,33 +88,54 @@ object Parse {
     * expression tree (codegen'd, optimizer-visible). Adds columns:
     * parsed_ts, level, body, tool_calls, header_version, header_fields,
     * is_header, is_continuation, parse_ok.
+    *
+    * Performance shape: the naive encoding — `regexp_extract(text,
+    * LOGLINE, i)` once per captured group — runs the big anchored regex
+    * FOUR times per row (Catalyst CSE can't merge different group
+    * indices), and that regex work dominated the whole pipeline's
+    * profile. Since LOGLINE's structure is `ts SP level SP [role] SP
+    * body`, one `split(text, " ", 4)` plus per-field validations
+    * (a 24-char anchored timestamp regex, an `isin` for the level, a
+    * 6-char role check) extracts everything in a single pass over the
+    * text. Header extraction is a prefix compare + substring, no regex
+    * at all. Semantics match [[parseTyped]]'s whole-string `matches()`
+    * exactly (the `\n` guard reproduces Java's "`$` not before an
+    * embedded newline").
     */
   def parseColumns(df: DataFrame): DataFrame = {
-    val logline = grokDictionary("LOGLINE")
+    val parts = split(col("text"), " ", 4)
+    val tsStr = try_element_at(parts, lit(1))
+    val levelC = try_element_at(parts, lit(2))
+    val roleC = try_element_at(parts, lit(3))
     df
+      .withColumn("_ok",
+        size(parts) === 4 &&
+          !col("text").contains("\n") &&
+          tsStr.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?Z$") &&
+          levelC.isin("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL") &&
+          roleC.rlike("^\\[\\w+\\]$"))
       .withColumn("parsed_ts",
-        to_timestamp(
-          nullif(regexp_extract(col("text"), logline, 1), lit("")),
-          "yyyy-MM-dd'T'HH:mm:ss[.SSS]'Z'"))
-      .withColumn("level",
-        nullif(regexp_extract(col("text"), logline, 2), lit("")))
-      .withColumn("body",
-        when(col("level").isNotNull,
-          regexp_extract(col("text"), logline, 4)))
+        when(col("_ok"),
+          to_timestamp(tsStr, "yyyy-MM-dd'T'HH:mm:ss[.SSS]'Z'")))
+      .withColumn("level", when(col("_ok"), levelC))
+      .withColumn("body", when(col("_ok"), try_element_at(parts, lit(4))))
       .withColumn("tool_calls",
         regexp_extract_all(col("text"),
           lit(grokDictionary("TOOL_CALL")), lit(1)))
       .withColumn("header_version",
-        nullif(regexp_extract(col("text"),
-          grokDictionary("HEADER_VERSION"), 1), lit("")))
+        when(col("text").startsWith("#Version: ") &&
+          length(col("text")) > 10 && !col("text").contains("\n"),
+          substring(col("text"), 11, Int.MaxValue)))
       .withColumn("header_fields",
-        nullif(regexp_extract(col("text"),
-          grokDictionary("HEADER_FIELDS"), 1), lit("")))
+        when(col("text").startsWith("#Fields: ") &&
+          length(col("text")) > 9 && !col("text").contains("\n"),
+          substring(col("text"), 10, Int.MaxValue)))
       .withColumn("is_header",
         col("header_version").isNotNull || col("header_fields").isNotNull)
       .withColumn("is_continuation",
         col("text").rlike(grokDictionary("CONTINUATION")))
       .withColumn("parse_ok", col("level").isNotNull)
+      .drop("_ok")
   }
 
   /** P5: propagate the most recent header_version onto all subsequent
@@ -153,9 +174,16 @@ object Parse {
         min(col("ts")).as("ts"))
   }
 
-  /** Full parse stage used by the pipeline. */
+  /** Full parse stage used by the pipeline: column extraction plus the
+    * FUSED prefix scan — header propagation (P5) and sessionization (P3)
+    * share one chunk repartition instead of shuffling the fat rows
+    * twice (see [[PrefixOps.scanBoth]]).
+    */
   def apply(ds: Dataset[Turn], chunkSize: Int = 4096): DataFrame = {
     val parsed = parseColumns(ds.toDF())
-    sessionize(propagateHeaders(parsed, chunkSize), chunkSize)
+    PrefixOps.scanBoth(parsed,
+      col("header_version"), "header",
+      when(col("is_continuation"), lit(0)).otherwise(lit(1)), "session_id",
+      chunkSize)
   }
 }

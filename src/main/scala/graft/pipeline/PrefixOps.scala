@@ -75,6 +75,63 @@ object PrefixOps {
       .drop("_val", "_chunk", "_run", "_carry_in")
   }
 
+  /** Fused scan: BOTH running last-non-null (header propagation, P5) and
+    * running sum (sessionization, P3) in one chunk decomposition. The
+    * separate primitives each cost a fat-row shuffle for their window
+    * plus a join; the pipeline needs both over the same ordering, so
+    * fusing them shares the single (conv, chunk) repartition + sort —
+    * at 10^12 turns that halves the dominant shuffle volume of the
+    * parse stage.
+    *
+    * Chunk summaries are derived from the windowed rows themselves
+    * (`max_by(running, idx)` per chunk == the chunk's own scan result at
+    * its last row), so no second pass over the fat rows is needed; the
+    * carry-in table is one row per (conv, chunk) and joins back on the
+    * partitioning the window already established.
+    */
+  def scanBoth(df: DataFrame, valueCol: Column, lastOut: String,
+      indicator: Column, sumOut: String, chunkSize: Int = 4096,
+      convCol: String = "conv_id", idxCol: String = "turn_idx"): DataFrame = {
+    val chunked = df
+      .withColumn("_val", valueCol)
+      .withColumn("_ind", indicator.cast("long"))
+      .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
+    val wIn = Window.partitionBy(col(convCol), col("_chunk"))
+      .orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked
+      .withColumn("_runv", last(col("_val"), ignoreNulls = true).over(wIn))
+      .withColumn("_runs", sum(col("_ind")).over(wIn))
+
+    // one row per (conv, chunk): the chunk's final running values
+    val summaries = within.groupBy(col(convCol), col("_chunk"))
+      .agg(max_by(col("_runv"), col(idxCol)).as("_chunk_last"),
+        max(col("_runs")).as("_chunk_sum"))
+    val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summaries
+      .withColumn("_carry_last",
+        last(col("_chunk_last"), ignoreNulls = true).over(wCarry))
+      .withColumn("_carry_sum",
+        coalesce(sum(col("_chunk_sum")).over(wCarry), lit(0L)))
+      .select(col(convCol), col("_chunk"), col("_carry_last"),
+        col("_carry_sum"))
+
+    // SHUFFLE_HASH hint on the (tiny) carry side: the big side is
+    // already hash-partitioned AND sorted by (conv, chunk) from the
+    // window, so this join is a per-partition hash build over a few
+    // thousand carry rows — and the explicit hint stops AQE from
+    // "helpfully" converting it to a runtime broadcast, which measured
+    // 6-20x SLOWER at high parallelism (the broadcast build serializes
+    // behind the full upstream stage).
+    within
+      .join(carry.hint("SHUFFLE_HASH"), Seq(convCol, "_chunk"), "left")
+      .withColumn(lastOut, coalesce(col("_runv"), col("_carry_last")))
+      .withColumn(sumOut, col("_runs") + coalesce(col("_carry_sum"), lit(0L)))
+      .drop("_val", "_ind", "_chunk", "_runv", "_runs", "_carry_last",
+        "_carry_sum")
+  }
+
   /** Running sum of an integer indicator per conv ordered by turn_idx —
     * the sessionization primitive (P3: multiline grouping). Adds `outCol`
     * = inclusive prefix sum of `indicator`.

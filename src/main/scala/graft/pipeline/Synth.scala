@@ -107,7 +107,11 @@ object Synth {
       nConvs: Long): Long = {
     import org.apache.spark.sql.functions._
     val ds = turns(spark, seed, nConvs)
+    // repartition by day before the partitioned write: without it every
+    // generator task writes a sliver into every day dir (days x tasks
+    // small files), and scan setup cost dominates downstream reads.
     val df = ds.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("day"))
     df.write.mode("overwrite").partitionBy("day").parquet(path)
     spark.read.parquet(path).count()
   }

@@ -71,7 +71,7 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val turns = batch.as[Turn]
-        val routed = Route(Enrich(Parse(turns)), excludePattern)
+        val routed = Pipeline(turns, excludePattern)
         // per-batch dir + overwrite => a retried micro-batch republishes
         // the same directory idempotently (no duplicate rows), the same
         // discipline as the batch pipeline's staged publish (Sinks).

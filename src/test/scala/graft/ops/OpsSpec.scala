@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SparkTestSession
+
+/** Unit coverage for the training-data operators whose full semantics
+  * the DuckDB oracle can't express (dedup survivors, LSH recall,
+  * multimodal plumbing), plus source-format fidelity (concatenated
+  * gzip members, the 16-event fixture analog:
+  * reference spec/fixtures/multiple_compressed_streams.gz, spec:443-450).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("concatenated gzip members read as one stream (multi-stream fixture analog)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "gz").toString
+    val f = new java.io.File(s"$dir/multi.log.gz")
+    val out = new java.io.FileOutputStream(f)
+    // two independently-gzipped members, 8 lines each, back to back
+    for (m <- 0 until 2) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write((0 until 8).map(i => s"member$m line$i").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      gz.finish()
+    }
+    out.close()
+    val lines = spark.read.textFile(f.getPath)
+    assert(lines.count() == 16, "both gzip members must be decoded")
+    assert(lines.filter($"value".startsWith("member1")).count() == 8)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("dropExactDups keeps exactly one survivor (min id) per duplicate group") {
+    val docs = Seq(
+      (1L, "the same text"), (2L, "  THE   SAME TEXT "), // normalized dups
+      (3L, "unique one"), (4L, "the same text"), (5L, "another")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_docs") == 3L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair; jaccard verifies it") {
+    val base = (0 until 30).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX") // high jaccard
+    val docs = ((0L, base) +: (1L, nearDup) +:
+      (2L until 12L).map(i => (i, (0 until 30).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, rowsPerBand = 2, jaccardThreshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)), s"expected only the planted pair, got ${pairs.toSeq}")
+  }
+
+  test("simhash: near-identical docs collide, disjoint docs do not") {
+    val a = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a + " extraA"), (3L, "wholly different words here"))
+      .toDF("doc_id", "text")
+    val hs = docs.select($"doc_id", Dedup.simhash16($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d12 = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    val d13 = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(d12 < d13, s"near-dup hamming $d12 must beat unrelated $d13")
+  }
+
+  test("lshTopK recall: bucket-pruned top-k finds the exact top-1") {
+    val dims = 16
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(dims)(rng.nextFloat() * 2 - 1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(17)._2.map(_.toDouble)
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", query, 1)
+      .head().getLong(0)
+    val approx = Similarity.lshTopK(df, "vec_id", "embedding", query, 1)
+      .head().getLong(0)
+    assert(exact == 17L && approx == 17L,
+      "the query's own vector must be its top-1 in both paths")
+  }
+
+  test("multimodal decode: deterministic features, blobs dropped, resize rewrites dims only") {
+    val media = Multimodal.synthMedia(spark, 200L)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 200)
+    assert(feats.forall(_.feat.length == 16))
+    // deterministic: same id -> same checksum on re-run
+    val again = Multimodal.decodeFeatures(Multimodal.synthMedia(spark, 200L))
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert(feats.forall(f => again(f.media_id) == f.checksum))
+
+    val payload = Multimodal.synthPayload(1L, "image", 100, 80, 0)
+    val resized = Multimodal.StubCodec.resize(payload, 32, 24)
+    val bb = java.nio.ByteBuffer.wrap(resized)
+    assert(bb.getInt() == 0x4D454449 && bb.getInt() == 32 && bb.getInt() == 24)
+    assert(resized.drop(16).sameElements(payload.drop(16)), "body untouched")
+
+    val plan = Multimodal.frameSamplePlan(media.toDF(), everyMs = 1000)
+    val perVideo = plan.groupBy($"media_id").count()
+      .join(media.toDF().select($"media_id", $"duration_ms"), "media_id")
+      .collect()
+    assert(perVideo.forall(r =>
+      r.getLong(1) == (r.getInt(2) + 999) / 1000))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (an upgrade over the reference's example-based
+  * RSpec suite, SURVEY.md §5): the distributed prefix-scan primitives
+  * must equal their naive single-window definitions for ARBITRARY
+  * inputs and chunk sizes, routing must partition any input, and the
+  * literal watermark predicate must implement exactly the
+  * (day unseen) OR (ts > wm) semantics.
+  */
+object PipelineProps extends Properties("pipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val genRows: Gen[List[(String, Int, Int)]] = for {
+    nConvs <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(60, for {
+      c <- Gen.choose(0, nConvs - 1)
+      v <- Gen.choose(0, 3)
+    } yield (s"c$c", v))
+  } yield rows.groupBy(_._1).toList.flatMap { case (c, vs) =>
+    vs.zipWithIndex.map { case ((_, v), i) => (c, i, v) }
+  }
+
+  private val genChunk: Gen[Int] = Gen.choose(1, 9)
+
+  property("prefixSum == naive running sum for any input and chunk size") =
+    forAll(genRows, genChunk) { (rows, chunk) =>
+      rows.isEmpty || {
+        val df = rows.toDF("conv_id", "turn_idx", "v")
+        val got = PrefixOps.prefixSum(df, col("v"), "run", chunkSize = chunk)
+          .select($"conv_id", $"turn_idx", $"run")
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val naive = df.withColumn("run", sum($"v".cast("long")).over(w))
+          .select($"conv_id", $"turn_idx", $"run")
+        got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty
+      }
+    }
+
+  property("propagateLastNonNull == naive ignoreNulls window") =
+    forAll(genRows, genChunk) { (rows, chunk) =>
+      rows.isEmpty || {
+        // v == 0 -> null marker, else a string value
+        val df = rows.toDF("conv_id", "turn_idx", "v")
+          .withColumn("mark", when($"v" > 0, concat(lit("m"), $"v")))
+        val got = PrefixOps.propagateLastNonNull(df, col("mark"), "hdr",
+            chunkSize = chunk)
+          .select($"conv_id", $"turn_idx", $"hdr")
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val naive = df
+          .withColumn("hdr", last($"mark", ignoreNulls = true).over(w))
+          .select($"conv_id", $"turn_idx", $"hdr")
+        got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty
+      }
+    }
+
+  private val genText: Gen[String] = Gen.oneOf(
+    Gen.const("2025-01-01T00:00:00Z INFO [user] plain body"),
+    Gen.const("#Version: 9"),
+    Gen.const("#Fields: a b"),
+    Gen.const("   continuation line"),
+    Gen.const("@@garbage not a log line"),
+    Gen.alphaNumStr.map(s => s"junk $s"))
+
+  private val genRole: Gen[String] =
+    Gen.oneOf("user", "assistant", "tool", "system", "alien", "")
+
+  property("routing assigns every row exactly one known sink") =
+    forAll(Gen.listOfN(40, Gen.zip(genRole, genText)),
+      Gen.oneOf("", "junk", "body", "\\d+")) { (rows, pattern) =>
+      rows.isEmpty || {
+        val ts0 = new Timestamp(Synth.baseEpochMs)
+        val turns = rows.zipWithIndex.map { case ((r, t), i) =>
+          Turn(s"c${i % 3}", i, r, t, null, ts0)
+        }.toDS()
+        val routed = Route(Parse(turns), excludePattern = pattern)
+        val n = routed.count()
+        val sinks = routed.groupBy($"sink").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        n == rows.size && sinks.values.sum == n &&
+          sinks.keySet.subsetOf(Route.sinkNames.toSet)
+      }
+    }
+
+  property("literal watermark predicate == reference semantics") =
+    forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 100L))),
+      Gen.mapOf(Gen.zip(Gen.choose(1, 5).map(d => f"2025-01-$d%02d"),
+        Gen.choose(0L, 100L).map(s => new Timestamp(s * 1000L))))) {
+      (rows, wms) =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex.map { case ((d, s), i) =>
+          (i, f"2025-01-$d%02d", new Timestamp(s * 1000L))
+        }.toDF("id", "day", "ts")
+        val got =
+          if (wms.isEmpty) df else df.filter(Discover.watermarkPredicate(wms))
+        val expect = rows.zipWithIndex.filter { case ((d, s), _) =>
+          wms.get(f"2025-01-$d%02d") match {
+            case None => true
+            case Some(wm) => s * 1000L > wm.getTime
+          }
+        }.map(_._2).toSet
+        got.select($"id").collect().map(_.getInt(0)).toSet == expect
+      }
+    }
+}

@@ -109,6 +109,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.agg(sum($"n_lines")).head().getLong(0) == parsed.count())
   }
 
+  test("Pipeline (route-before-scan) == Route(Enrich(Parse)) composition") {
+    val ts = Synth.turns(spark, seed, 40L)
+    val keep = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "sink", "actor_class", "tool_category", "header", "session_id")
+      .map(col)
+    val a = Pipeline(ts, excludePattern = "token", chunkSize = 64)
+      .select(keep: _*)
+    val b = Route(Enrich(Parse(ts, chunkSize = 64)), excludePattern = "token")
+      .select(keep: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("fused scanBoth == sequential propagate + sessionize") {
+    val parsed = Parse.parseColumns(Synth.turns(spark, seed, 50L).toDF())
+    val fused = PrefixOps.scanBoth(parsed,
+        col("header_version"), "header",
+        when($"is_continuation", lit(0)).otherwise(lit(1)), "session_id",
+        chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"header", $"session_id")
+    val sequential = Parse.sessionize(Parse.propagateHeaders(parsed, 4), 4)
+      .select($"conv_id", $"turn_idx", $"header", $"session_id")
+    assert(fused.exceptAll(sequential).isEmpty &&
+      sequential.exceptAll(fused).isEmpty)
+  }
+
   test("multiline merge golden case: 4 physical lines -> 2 logical records") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     val fixture = Seq(
@@ -271,6 +296,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.watermarks(spark, s"$scratch/nonexistent").isEmpty)
     val df = Lineage.read(spark, s"$scratch/nonexistent")
     assert(df.isEmpty)
+  }
+
+  test("archive-prefix rows are never re-discovered (self-backup guard, s3.rb:365)") {
+    val inputPath = s"$scratch/arch_in"
+    Synth.writeTable(spark, inputPath, seed, 5L)
+    // simulate re-ingested archive rows: same data under the archive prefix
+    val archived = spark.read.parquet(inputPath)
+      .withColumn("conv_id", concat(lit("archived/"), $"conv_id"))
+    archived.write.mode("append").partitionBy("day").parquet(inputPath)
+    val cfg = PipelineConfig(inputPath, s"$scratch/arch_sinks")
+    val delta = Discover.delta(spark, cfg, farFuture, Map.empty)
+    assert(delta.filter($"conv_id".startsWith("archived/")).count() == 0)
+    assert(delta.count() * 2 == spark.read.parquet(inputPath).count())
   }
 
   test("enrich: left joins preserve rows; unmapped tool -> null category") {
