@@ -49,8 +49,10 @@ object Bench {
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val nConvs = args.lift(0).map(_.toLong).getOrElse(30000L)
-    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    // defaults = the BENCH.md primary pairing: 17.7M turns, 2 vs 8 cores
+    // (the host's linear region — see BENCH.md host-ceiling note)
+    val nConvs = args.lift(0).map(_.toLong).getOrElse(960000L)
+    val n = args.lift(1).map(_.toInt).getOrElse(2)
     val n4 = args.lift(2).map(_.toInt).getOrElse(4 * n)
 
     // generate the shared input once (any session works for this)

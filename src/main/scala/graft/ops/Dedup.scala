@@ -67,18 +67,22 @@ object Dedup {
     array_min(transform(shingleArr,
       s => substring(md5(concat(lit(s"$seed|"), s)), 1, 8)))
 
-  /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc.
-    * Computed in ONE pass over the shingle array per row (narrow, no
-    * shuffle, no explode).
+  /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc,
+    * as ONE grouped aggregate over exploded (id, shingle) rows — the
+    * shingle set is computed once per doc and all k mins come from a
+    * single partial+final hash-agg pass. (The tempting narrow form —
+    * k `array_min(transform(sh, ...))` columns over a projected array —
+    * re-inlines the whole shingling expression into every hash column
+    * after projection collapse: measured 8x slower with k=8.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    val base = df.select(col(idCol), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-    (0 until numHashes).foldLeft(base) { (d, i) =>
-      d.withColumn(s"mh$i", minhashCol(col("sh"), i))
-    }.drop("sh")
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(md5(concat(lit(s"$i|"), col("shingle"))), 1, 8))
+        .as(s"mh$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: concat `rowsPerBand` consecutive minhashes into one
