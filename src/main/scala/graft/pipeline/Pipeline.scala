@@ -19,13 +19,43 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   def apply(ds: Dataset[Turn], excludePattern: String = "",
-      chunkSize: Int = 4096): DataFrame = {
+      chunkSize: Int = 4096,
+      includeObjectProperties: Boolean = false): DataFrame = {
     val parsed = Parse.parseColumns(ds.toDF())
     val routed = Route(parsed, excludePattern)
     val enriched = Enrich(routed)
-    PrefixOps.scanBoth(enriched,
+    val scanned = PrefixOps.scanBoth(enriched,
       col("header_version"), "header",
       when(col("is_continuation"), lit(0)).otherwise(lit(1)), "session_id",
       chunkSize)
+    withMeta(scanned, includeObjectProperties)
   }
+
+  /** P7 metadata projection (reference: lib/logstash/inputs/s3.rb:250-264,
+    * spec:522-548): every output row ALWAYS carries its source identity
+    * (`[@metadata][s3][key]` analog = conv_id here); the full
+    * object-properties map is attached only when asked for — the
+    * `include_object_properties` flag — since it fattens every row.
+    */
+  def withMeta(df: DataFrame, includeObjectProperties: Boolean): DataFrame = {
+    val base = map(lit("source_conv"), col("conv_id"))
+    val full = map_concat(base,
+      map(lit("role"), col("role"),
+        lit("turn_idx"), col("turn_idx").cast("string"),
+        lit("ts"), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")))
+    df.withColumn("meta", if (includeObjectProperties) full else base)
+  }
+
+  /** P8 ECS field-name switch (s3.rb:31, 93-97): pure output renaming —
+    * `disabled` keeps the legacy flat names, `v1` nests them under the
+    * metadata-style prefix. No dataflow difference, exactly like the
+    * reference.
+    */
+  def ecsRename(df: DataFrame, ecsCompatibility: String): DataFrame =
+    ecsCompatibility match {
+      case "disabled" => df
+      case _ => df
+        .withColumnRenamed("header", "meta_transcript_header_version")
+        .withColumnRenamed("meta", "meta_transcript_source")
+    }
 }

@@ -121,6 +121,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("meta projection: source identity always present, full props only on request (P7); ECS rename is pure (P8)") {
+    val ts = Synth.turns(spark, seed, 5L)
+    val slim = Pipeline(ts)
+    val slimMeta = slim.select($"conv_id", $"meta").head()
+    assert(slimMeta.getMap[String, String](1) ==
+      Map("source_conv" -> slimMeta.getString(0)))
+    val fat = Pipeline(ts, includeObjectProperties = true)
+    val fatMeta = fat.filter($"turn_idx" === 1).select($"meta", $"role").head()
+    val m = fatMeta.getMap[String, String](0)
+    assert(m("role") == fatMeta.getString(1) && m("turn_idx") == "1" &&
+      m.contains("ts") && m.contains("source_conv"))
+    // ECS rename: same rows, different column names
+    val ecs = Pipeline.ecsRename(slim, "v1")
+    assert(ecs.columns.contains("meta_transcript_header_version") &&
+      !ecs.columns.contains("header"))
+    assert(ecs.count() == slim.count())
+    assert(Pipeline.ecsRename(slim, "disabled").columns sameElements slim.columns)
+  }
+
+  test("salted repartition spreads a hot conversation across partitions") {
+    import org.apache.spark.sql.functions.{hash => fhash}
+    // conv 0 is hot (2000+ turns, Synth.convSize)
+    val routed = Pipeline(Synth.turns(spark, seed, 3L))
+    val salted = routed
+      .repartition(8, col("conv_id"), pmod(fhash(col("turn_idx")), lit(8)))
+      .withColumn("pid", spark_partition_id())
+    val hot = salted.filter($"conv_id" === "conv-00000000")
+    val spread = hot.select($"pid").distinct().count()
+    assert(spread > 1, s"hot conversation must span >1 partition, got $spread")
+    // and the per-partition secondary sort restores (conv, turn_idx) order
+    val sorted = salted.sortWithinPartitions($"conv_id", $"turn_idx")
+      .mapPartitions { it =>
+        var ok = true
+        var prev: (String, Int) = null
+        it.foreach { r =>
+          val cur = (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+          if (prev != null && (prev._1 > cur._1 ||
+            (prev._1 == cur._1 && prev._2 >= cur._2))) ok = false
+          prev = cur
+        }
+        Iterator.single(ok)
+      }(org.apache.spark.sql.Encoders.scalaBoolean)
+    assert(sorted.collect().forall(identity))
+  }
+
   test("fused scanBoth == sequential propagate + sessionize") {
     val parsed = Parse.parseColumns(Synth.turns(spark, seed, 50L).toDF())
     val fused = PrefixOps.scanBoth(parsed,
