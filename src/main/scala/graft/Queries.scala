@@ -409,6 +409,35 @@ object Queries {
               count(*) AS n_lines
        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** P2 corrupt-record path: permissive JSON decode where malformed
+    * documents are counted into a dead-letter bucket instead of failing
+    * the job (spec:341-441; `_corrupt_record` analog). A deterministic
+    * subset of rows is mangled to exercise the path.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("raw",
+        when(col("event_id") % 7 === 0, substring(col("props"), 3, 100000))
+          .otherwise(col("props")))
+      .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_deadletter"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val q21Sql: String =
+    """WITH r AS (SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 3) ELSE props END AS raw
+         FROM events),
+       p AS (SELECT event_type,
+         CASE WHEN json_valid(raw) THEN CAST(raw->>'k' AS BIGINT) END AS k
+         FROM r)
+       SELECT event_type, count(*) AS n,
+              CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deadletter,
+              CAST(sum(k) AS BIGINT) AS sum_k
+       FROM p GROUP BY event_type ORDER BY event_type"""
+
   /** TPC-H Q1-ish flagship aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -631,6 +660,23 @@ object Queries {
        FROM votes ORDER BY doc_id"""
   }
 
+  /** Rolling-hash (winnowing-lite) fingerprints; duplicate texts share
+    * fingerprints, near-dups usually do.
+    */
+  def d10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text"), 16).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val d10Sql: String =
+    """WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+           FROM documents WHERE doc_id < 500),
+       w AS (SELECT doc_id, substr(t, i, 16) AS win
+             FROM d, UNNEST(generate_series(1, greatest(length(t) - 15, 1))) u(i))
+       SELECT doc_id, min(substr(md5(win), 1, 8)) AS fp
+       FROM w GROUP BY doc_id ORDER BY doc_id"""
+
   /** Brute-force cosine top-10 vs the vec_id=0 embedding (float64
     * accumulation; ordered by the ROUNDED score so selection is
     * engine-independent).
@@ -781,6 +827,7 @@ object Queries {
     "q18_storage_class_filter" -> (q18 _),
     "q19_archive_antijoin" -> (q19 _),
     "q20_multiline_merge" -> (q20 _),
+    "q21_corrupt_json_deadletter" -> (q21 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -790,6 +837,7 @@ object Queries {
     "d07_minhash" -> (d07 _),
     "d08_minhash_lsh_pairs" -> (d08 _),
     "d09_simhash" -> (d09 _),
+    "d10_rolling_fingerprint" -> (d10 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
@@ -819,6 +867,7 @@ object Queries {
     "q18_storage_class_filter" -> q18Sql,
     "q19_archive_antijoin" -> q19Sql,
     "q20_multiline_merge" -> q20Sql,
+    "q21_corrupt_json_deadletter" -> q21Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,
@@ -828,6 +877,7 @@ object Queries {
     "d07_minhash" -> d07Sql,
     "d08_minhash_lsh_pairs" -> d08Sql,
     "d09_simhash" -> d09Sql,
+    "d10_rolling_fingerprint" -> d10Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql

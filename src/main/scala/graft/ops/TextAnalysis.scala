@@ -63,6 +63,22 @@ object TextAnalysis {
           col("stopword_hits") > 0)
   }
 
+  /** Rolling-window document fingerprint (Rabin-Karp / winnowing-lite):
+    * hash every `w`-char window of the normalized text and keep the
+    * minimum — one fingerprint per document that is robust to small
+    * edits anywhere except the minimizing window (near-dup docs very
+    * likely share it; combine k of these at different `w` for a sketch).
+    * md5-prefix stands in for the rolling polynomial so the identical
+    * computation is expressible in ANSI SQL for the oracle; a native
+    * implementation would swap in a true O(1)-slide polynomial hash.
+    */
+  def rollingFingerprint(text: Column, w: Int = 16): Column = {
+    val t = lower(trim(text))
+    val nWindows = greatest(length(t) - (w - 1), lit(1))
+    array_min(transform(sequence(lit(1), nWindows),
+      i => substring(md5(t.substr(i, lit(w))), 1, 8)))
+  }
+
   /** Language-ID by marker-token voting: a deterministic n-gram-style
     * heuristic — per language, count hits of characteristic tokens; the
     * argmax wins, ties broken by language code, zero hits -> "und".
