@@ -106,22 +106,27 @@ object Dedup {
     * bucket of b docs emits b^2/2 pairs; at 10^12 docs an uncapped hot
     * bucket is the job-killer, so oversized buckets are dropped and
     * reported rather than silently exploding).
+    *
+    * Shape: ONE grouped pass — ids collected per (band, sig), pairs
+    * emitted by array expressions. A self-join formulation would
+    * re-derive the whole (expensive) signature subtree for each join
+    * input and shuffle it twice more; collect-then-expand touches the
+    * signatures once, and the per-bucket cap bounds the collected array
+    * at `maxBucket` ids.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val bucketed = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
-    val eligible = bands.join(bucketed.select("band", "sig"),
-      Seq("band", "sig"), "left_semi")
-    eligible.as("a")
-      .join(eligible.as("b"),
-        col(s"a.band") === col(s"b.band") &&
-          col(s"a.sig") === col(s"b.sig") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    // all ascending (a, b) pairs of the sorted id array
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2),
+        greatest(size(col("ids")) - i - 1, lit(0))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
