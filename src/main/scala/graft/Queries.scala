@@ -794,6 +794,19 @@ object Queries {
       .orderBy(col("sink"), col("hour_start"))
   }
 
+  /** Native-Expression rolling-hash fingerprint (graft.functions
+    * .RollingHashMin, codegen'd O(n) Rabin-Karp) — the scale path of
+    * d10; no SQL oracle (custom hash), driver records rows-only.
+    */
+  def f01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingHashMin.rollingHashMin(col("text"), 16)
+          .as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
   /** Multimodal decode/feature plumbing (stubbed codec, real dataflow). */
   def m01(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal
@@ -841,6 +854,7 @@ object Queries {
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
+    "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
     "m01_multimodal_features" -> (m01 _)
