@@ -771,9 +771,55 @@ object Queries {
        FROM dots ORDER BY vec_id"""
   }
 
+  /** IVF assignment: nearest of 8 deterministic centroids (embeddings
+    * of the 8 smallest vec_ids) per vector; cluster cardinalities.
+    * Tie-break = (cosine, cid) lexicographic max, mirrored in the SQL.
+    */
+  def e04(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    Similarity.ivfAssign(emb, "embedding", cents)
+      .groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("ivf_cluster"))
+  }
+
+  val e04Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v FROM c),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM ce GROUP BY cid),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM be GROUP BY vec_id),
+       dots AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       scored AS (SELECT dots.vec_id, dots.cid,
+                  dots.d / (bn.n * cn.n) AS s,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid)
+       SELECT cid AS ivf_cluster, count(*) AS n_vectors
+       FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
+
   // ---------------------------------------------------------------- //
   // No-oracle showcase queries (driver records rows-only checks)      //
   // ---------------------------------------------------------------- //
+
+  /** IVF top-k search: scan only the query's nprobe nearest clusters
+    * (rows-only check; assignment itself is oracle-checked by e04).
+    */
+  def e05(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    val query = emb.filter(col("vec_id") === 42)
+      .head().getSeq[Float](1).map(_.toDouble)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", cents, query,
+      k = 10, nprobe = 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
 
   /** Full transcript pipeline fan-out on synthesized data. */
   def p01(spark: SparkSession, dir: String): DataFrame = {
@@ -854,6 +900,8 @@ object Queries {
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
+    "e04_ivf_assignment" -> (e04 _),
+    "e05_ivf_topk" -> (e05 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -894,6 +942,7 @@ object Queries {
     "d10_rolling_fingerprint" -> d10Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
-    "e03_lsh_buckets" -> e03Sql
+    "e03_lsh_buckets" -> e03Sql,
+    "e04_ivf_assignment" -> e04Sql
   )
 }

@@ -104,6 +104,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index — the second scale path besides LSH.
+    *
+    * Centroids are deterministic: the embeddings of the `k` smallest
+    * ids (reproducible in any engine, incl. the SQL oracle). Assignment
+    * is a narrow map — the k centroids are literal vectors folded into
+    * codegen, argmin by cosine. At 100 TB the corpus is written
+    * partitioned by `ivf_cluster`, so a query scans only its `nprobe`
+    * nearest clusters' partitions (partition pruning on a literal IN).
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Seq[Double])] =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+
+  /** Argmin-cosine cluster id over literal centroids (ties -> first). */
+  def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosineWithLiteral(vec, cvec).as("s"), lit(cid).as("cid"))
+    }
+    // array_max picks the lexicographically-largest (score, cid) struct:
+    // highest cosine wins; ties break to the LARGEST cid — mirror that
+    // exactly in any oracle.
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  def ivfAssign(df: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    df.withColumn("ivf_cluster", ivfAssignExpr(col(vecCol), centroids))
+
+  /** One Lloyd refinement iteration, DataFrame-native: explode vector
+    * components, average per (cluster, dim) — a single hash aggregate —
+    * and collect the k x d means to the driver (tiny). Returns refined
+    * centroids keyed 0..k-1.
+    */
+  def kmeansIteration(assigned: DataFrame, vecCol: String,
+      dims: Int): Seq[(Long, Seq[Double])] =
+    assigned
+      .select(col("ivf_cluster"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("ivf_cluster"), col("d"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        val arr = new Array[Double](dims)
+        rows.foreach { case (_, d, m) => arr(d) = m }
+        (cid, arr.toSeq)
+      }
+
+  /** IVF search: score only vectors whose cluster is among the query's
+    * `nprobe` nearest centroids. The cluster filter is a literal IN —
+    * partition-prunable when the corpus is stored bucketed by cluster.
+    */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], query: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probes = centroids.map { case (cid, cvec) => (cos(query, cvec), cid) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    assigned
+      .filter(col("ivf_cluster").isin(probes: _*))
+      .select(col(idCol),
+        cosineWithLiteral(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
     * formed within a bucket (same no-all-pairs discipline as
     * [[Dedup.lshCandidatePairs]]), then verified by exact cosine.

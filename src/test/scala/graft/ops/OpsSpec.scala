@@ -85,6 +85,35 @@ class OpsSpec extends AnyFunSuite {
       "the query's own vector must be its top-1 in both paths")
   }
 
+  test("IVF: assignment partitions the corpus, probe-pruned search finds the exact top-1, kmeans iteration preserves k") {
+    val dims = 16
+    val rng = new scala.util.Random(3)
+    // clustered data: 4 well-separated centers + noise
+    val centers = Array.fill(4, dims)(rng.nextGaussian() * 10)
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(df, "embedding", cents).cache()
+    // total partition: every vector in exactly one cluster
+    assert(assigned.count() == 200)
+    assert(assigned.groupBy($"ivf_cluster").count().count() == 4)
+
+    // probe-pruned search: query = vector 17's own embedding
+    val query = vecs(17)._2.map(_.toDouble)
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+      query, k = 1, nprobe = 1).head()
+    assert(top.getLong(0) == 17L, "nprobe=1 finds the vector in its own cluster")
+
+    // one Lloyd iteration returns k refined centroids of the right arity
+    val refined = Similarity.kmeansIteration(assigned, "embedding", dims)
+    assert(refined.map(_._1).toSet.size == 4 &&
+      refined.forall(_._2.length == dims))
+    assigned.unpersist()
+  }
+
   test("multimodal decode: deterministic features, blobs dropped, resize rewrites dims only") {
     val media = Multimodal.synthMedia(spark, 200L)
     val feats = Multimodal.decodeFeatures(media).collect()
