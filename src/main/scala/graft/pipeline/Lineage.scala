@@ -67,6 +67,32 @@ object Lineage {
         .parquet(path(sinkRoot))
   }
 
+  /** Compact the lineage table when it has accumulated more than
+    * `maxFiles` commit files (one tiny parquet per batch): rewrite the
+    * full history into one file and atomically swap directories. The
+    * sincedb analog stays O(1) to read forever, no matter how many
+    * cycles have run — the reference's single-scalar file has the same
+    * property by construction (s3.rb:446-468).
+    */
+  def compact(spark: SparkSession, sinkRoot: String, maxFiles: Int = 64): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(sinkRoot))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val nFiles = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= maxFiles) return false
+    val all = spark.read.parquet(p.toString).cache()
+    all.count()
+    val tmp = new org.apache.hadoop.fs.Path(path(sinkRoot) + "_compacting")
+    all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    all.unpersist()
+    val old = new org.apache.hadoop.fs.Path(path(sinkRoot) + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    true
+  }
+
   /** Deterministic batch identity: a pure function of the checkpoint
     * state and the injected clock, so a crashed run re-executed on the
     * same state reproduces the same batch_id and its publish is

@@ -32,19 +32,28 @@ object Route {
     Seq("user", "assistant", "tool", "system", "other",
       "consumed", "deadletter", "excluded")
 
-  def sinkExpr(excludePattern: String): Column = {
+  def sinkExpr(excludePattern: String,
+      customRules: Seq[(Column, String)] = Nil): Column = {
     val base =
       when(col("is_header"), lit("consumed"))
         .when(!col("parse_ok") && !col("is_continuation"), lit("deadletter"))
     val withExclude =
       if (excludePattern == null || excludePattern.isEmpty) base
       else base.when(col("text").rlike(excludePattern), lit("excluded"))
-    withExclude
+    // user-configured rules (the reference's config-driven key routing,
+    // s3.rb:38-89): evaluated in order, after the built-in precedence,
+    // before the role fallback — still a TOTAL function (the `other`
+    // fallback guarantees every row a sink).
+    val withCustom = customRules.foldLeft(withExclude) {
+      case (acc, (pred, sink)) => acc.when(pred, lit(sink))
+    }
+    withCustom
       .when(col("role").isin("user", "assistant", "tool", "system"),
         col("role"))
       .otherwise(lit("other"))
   }
 
-  def apply(df: DataFrame, excludePattern: String = ""): DataFrame =
-    df.withColumn("sink", sinkExpr(excludePattern))
+  def apply(df: DataFrame, excludePattern: String = "",
+      customRules: Seq[(Column, String)] = Nil): DataFrame =
+    df.withColumn("sink", sinkExpr(excludePattern, customRules))
 }

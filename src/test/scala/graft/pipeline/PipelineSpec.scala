@@ -356,6 +356,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta.count() * 2 == spark.read.parquet(inputPath).count())
   }
 
+  test("custom routing rules slot between built-ins and role fallback; still a total partition") {
+    val ts = Synth.turns(spark, seed, 30L)
+    val rules = Seq(
+      (col("tool") === "python", "code_tools"),
+      (col("level") === "ERROR", "errors"))
+    val routed = Route(Parse(ts), excludePattern = "token", customRules = rules)
+    assert(routed.count() == ts.count(), "total function: no row loss")
+    val sinks = routed.groupBy($"sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sinks.contains("code_tools") && sinks.contains("errors"))
+    // precedence: headers/deadletter/excluded still win over custom rules
+    assert(routed.filter($"is_header" && $"sink" =!= "consumed").count() == 0)
+    assert(routed.filter($"sink" === "code_tools" && $"tool" =!= "python").count() == 0)
+  }
+
+  test("lineage compaction keeps history equal and read O(1) after many commits") {
+    val root = s"$scratch/compact_sinks"
+    val now = new Timestamp(0L)
+    (1 to 80).foreach { i =>
+      Lineage.commit(spark, root, Seq(
+        Lineage.Commit(s"b$i", f"2025-01-${i % 28 + 1}%02d",
+          new Timestamp(i * 1000L), i.toLong, now)))
+    }
+    val before = Lineage.read(spark, root).collect()
+      .map(_.toString).sorted
+    val wmBefore = Lineage.watermarks(spark, root)
+    assert(Lineage.compact(spark, root, maxFiles = 16), "compaction triggered")
+    val p = new org.apache.hadoop.fs.Path(Lineage.path(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    val after = Lineage.read(spark, root).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "history identical after compaction")
+    assert(Lineage.watermarks(spark, root) == wmBefore)
+    assert(!Lineage.compact(spark, root, maxFiles = 16), "idempotent no-op below threshold")
+  }
+
+  test("approx distinct-convs per sink tracks exact within 15% (3x default rsd)") {
+    val routed = Route(Enrich(Parse(Synth.turns(spark, seed, 80L))))
+    val exact = Aggregate.convsPerSink(routed, approx = false).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Aggregate.convsPerSink(routed, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (sink, n) =>
+      val a = approx(sink)
+      assert(math.abs(a - n).toDouble / math.max(n, 1) <= 0.15,
+        s"sink=$sink exact=$n approx=$a")
+    }
+  }
+
   test("enrich: left joins preserve rows; unmapped tool -> null category") {
     val ts = Synth.turns(spark, seed, nConvs)
     val enriched = Enrich(Parse(ts))
