@@ -63,6 +63,7 @@ object Main {
       newWms.map { case (d, mx, n) =>
         Lineage.Commit(batchId, d, mx, n, now)
       }.toSeq)
+    Lineage.compact(spark, cfg.sinkRoot) // no-op until history accumulates
     routed.unpersist()
     CycleResult(batchId, total, published)
   }
