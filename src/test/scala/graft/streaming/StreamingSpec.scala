@@ -87,6 +87,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("ProcessingTime trigger (the 60s polling-interval mode) picks up files appearing between cycles") {
+    val input = s"$scratch/pt_input"
+    val sinkRoot = s"$scratch/pt_sinks"
+    val ckpt = s"$scratch/pt_ckpt"
+    val n1 = Synth.writeTable(spark, input, 42L, 8L)
+    val q = Streaming.runForeachBatch(spark, input, sinkRoot, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.read.option("basePath", s"$sinkRoot/stream")
+        .parquet(s"$sinkRoot/stream").count()
+      assert(afterFirst == n1)
+      // new files land while the query keeps polling — the next cycle
+      // must ingest exactly the delta (the reference's interval loop)
+      val extra = Synth.turns(spark, 9L, 4L)
+        .withColumn("conv_id", concat(lit("pt-"), $"conv_id"))
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      val nExtra = extra.count()
+      extra.write.mode("append").partitionBy("day").parquet(input)
+      q.processAllAvailable()
+      val afterSecond = spark.read.option("basePath", s"$sinkRoot/stream")
+        .parquet(s"$sinkRoot/stream").count()
+      assert(afterSecond == n1 + nExtra)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
