@@ -438,6 +438,54 @@ object Queries {
               CAST(sum(k) AS BIGINT) AS sum_k
        FROM p GROUP BY event_type ORDER BY event_type"""
 
+  /** S6 faithful form: Glacier restore-header parsing
+    * (s3.rb:428-444) — a synthesized `restore` header per row in the
+    * reference's exact format `ongoing-request="X", expiry-date="..."`;
+    * eligible = restore complete AND unexpired at the injected clock.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = "2024-01-04 00:00:00"
+    val hdr = concat(
+      lit("ongoing-request=\""),
+      when(col("event_id") % 3 === 0, lit("true")).otherwise(lit("false")),
+      lit("\", expiry-date=\""),
+      date_format(col("ts") + expr("INTERVAL 2 DAYS"),
+        "yyyy-MM-dd HH:mm:ss"),
+      lit("\""))
+    t(spark, dir, "events")
+      .withColumn("restore", hdr)
+      .withColumn("ongoing",
+        regexp_extract(col("restore"), "ongoing-request=\"(\\w+)\"", 1))
+      .withColumn("expiry",
+        to_timestamp(regexp_extract(col("restore"),
+          "expiry-date=\"([^\"]+)\"", 1)))
+      .withColumn("restored",
+        col("ongoing") === "false" &&
+          col("expiry") > lit(asOf).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("restored"), 1L).otherwise(0L)).as("n_restored"))
+      .orderBy(col("event_type"))
+  }
+
+  val q22Sql: String =
+    """WITH r AS (SELECT event_type,
+         'ongoing-request="' ||
+           CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END ||
+           '", expiry-date="' ||
+           strftime(ts + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') || '"'
+           AS restore
+         FROM events),
+       p AS (SELECT event_type,
+         regexp_extract(restore, 'ongoing-request="(\w+)"', 1) AS ongoing,
+         CAST(regexp_extract(restore, 'expiry-date="([^"]+)"', 1) AS TIMESTAMP) AS expiry
+         FROM r)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN ongoing = 'false'
+              AND expiry > TIMESTAMP '2024-01-04 00:00:00'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+       FROM p GROUP BY event_type ORDER BY event_type"""
+
   /** TPC-H Q1-ish flagship aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -887,6 +935,7 @@ object Queries {
     "q19_archive_antijoin" -> (q19 _),
     "q20_multiline_merge" -> (q20 _),
     "q21_corrupt_json_deadletter" -> (q21 _),
+    "q22_glacier_restore_header" -> (q22 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -930,6 +979,7 @@ object Queries {
     "q19_archive_antijoin" -> q19Sql,
     "q20_multiline_merge" -> q20Sql,
     "q21_corrupt_json_deadletter" -> q21Sql,
+    "q22_glacier_restore_header" -> q22Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,

@@ -34,6 +34,29 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("invalid UTF-8 bytes sanitize to U+FFFD on read and survive the parse (invalid_utf8.gbk fixture analog)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "gbk").toString
+    val f = new java.io.File(s"$dir/invalid.log")
+    // two lines; the first embeds GBK bytes that are invalid UTF-8
+    val out = new java.io.FileOutputStream(f)
+    out.write("2025-01-01T00:00:00Z INFO [user] before ".getBytes("UTF-8"))
+    out.write(Array[Byte](0xC4.toByte, 0xE3.toByte, 0xBA.toByte, 0xC3.toByte))
+    out.write(" after\n".getBytes("UTF-8"))
+    out.write("2025-01-01T00:00:01Z WARN [tool] clean line\n".getBytes("UTF-8"))
+    out.close()
+    val lines = spark.read.text(f.getPath)
+    assert(lines.count() == 2, "both lines decode (no crash)")
+    val texts = lines.collect().map(_.getString(0))
+    assert(texts.exists(_.contains("�")),
+      "invalid bytes become the replacement char, deterministically")
+    // the sanitized line still parses: the grok fields are intact
+    import graft.pipeline._
+    val parsed = Parse.parseColumns(lines.withColumnRenamed("value", "text"))
+    assert(parsed.filter(col("parse_ok")).count() == 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("dropExactDups keeps exactly one survivor (min id) per duplicate group") {
     val docs = Seq(
       (1L, "the same text"), (2L, "  THE   SAME TEXT "), // normalized dups
