@@ -106,6 +106,32 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be per-partition heap + driver merge:\n$plan")
   }
 
+  test("bucketed transcript table eliminates the per-conversation exchange") {
+    // At 100 TB the transcript table is written bucketed by conv_id so
+    // every per-conversation operation (prefix scans, groupBy, the
+    // salted sink write) reuses the stored partitioning instead of
+    // shuffling — this pins that Spark actually elides the Exchange.
+    // default warehouse = ./spark-warehouse (gitignored); the dir is a
+    // static conf, so it can't be pointed at the scratch dir per-test
+    Synth.turns(spark, 42L, 20L).toDF()
+      .write.bucketBy(8, "conv_id").sortBy("conv_id", "turn_idx")
+      .mode("overwrite").saveAsTable("turns_bucketed")
+    try {
+      val agg = spark.table("turns_bucketed")
+        .groupBy($"conv_id").agg(count(lit(1)).as("n"))
+      agg.count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed groupBy(conv_id) must not shuffle:\n$plan")
+      // and an unbucketed read of the same data DOES shuffle
+      val unbucketed = Synth.turns(spark, 42L, 20L).toDF()
+        .groupBy($"conv_id").agg(count(lit(1)).as("n"))
+      unbucketed.count()
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    } finally spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+  }
+
   test("routing + parse stay inside whole-stage codegen") {
     val routed = Route(Parse.parseColumns(
       spark.read.parquet(s"$scratch/input")))
