@@ -156,9 +156,9 @@ object Queries {
   val q08Sql: String =
     """WITH s AS (
          SELECT user_id, event_id,
-                SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM events)
        SELECT user_id, session_id, count(*) AS n_events,
               min(event_id) AS first_event, max(event_id) AS last_event
@@ -400,9 +400,9 @@ object Queries {
   val q20Sql: String =
     """WITH s AS (
          SELECT user_id, event_id, props,
-                SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM events WHERE user_id < 40)
        SELECT user_id, session_id,
               string_agg(props, chr(10) ORDER BY event_id) AS merged,
@@ -636,8 +636,10 @@ object Queries {
       .orderBy(col("doc_id"))
 
   val d07Sql: String = {
+    // mirror of Dedup.minhashSignatures: hash i = hex slice [1+4i, 4) of
+    // ONE md5 per shingle (the DISTINCT is harmless: min is idempotent)
     val mins = (0 until 8)
-      .map(i => s"min(substr(md5('$i|' || s), 1, 8)) AS mh$i")
+      .map(i => s"min(substr(md5(s), ${1 + 4 * i}, 4)) AS mh$i")
       .mkString(",\n              ")
     s"""WITH d AS (SELECT doc_id,
            regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -661,7 +663,7 @@ object Queries {
 
   val d08Sql: String = {
     val mins = (0 until 8)
-      .map(i => s"min(substr(md5('$i|' || s), 1, 8)) AS mh$i")
+      .map(i => s"min(substr(md5(s), ${1 + 4 * i}, 4)) AS mh$i")
       .mkString(", ")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS sig FROM mh")
@@ -752,44 +754,68 @@ object Queries {
        SELECT vec_id, round(d / (nb * nq.n), 6) AS cosine
        FROM dots, nq ORDER BY cosine DESC, vec_id LIMIT 10"""
 
-  /** Embedding-cosine near-dup pairs among vec_id < 300. */
+  /** Sign-random-projection LSH parameters shared by e02/e03 (declared
+    * before first use — object vals initialize in order).
+    */
+  val lshPlanes = 8
+  val lshDims = 64
+
+  /** Embedding-cosine near-dup pairs among vec_id < 300 — the
+    * LSH-bucketed library op ([[Similarity.cosineNearDupPairs]]): pairs
+    * form ONLY within a sign-random-projection bucket (no all-pairs /
+    * cartesian join anywhere in the plan — PlanSpec pins that), then are
+    * verified by exact cosine. Recall is governed by nPlanes (4 here);
+    * the oracle applies the IDENTICAL bucket constraint, so approximate
+    * recall is still exact-checkable.
+    */
+  val e02Planes = 4
+
   def e02(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"))
-    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
-        col("id_a") < col("id_b"))
-    val dot = aggregate(zip_with(col("va"), col("vb"),
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    pairs.select(col("id_a"), col("id_b"),
-        round(dot / (Similarity.norm(col("va")) * Similarity.norm(col("vb"))),
-          6).as("cosine"))
-      .filter(col("cosine") >= 0.35)
+    Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        dims = lshDims, threshold = 0.35, nPlanes = e02Planes,
+        maxBucket = 10000, scoreRound = 6)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val e02Sql: String =
-    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  val e02Sql: String = {
+    val planeRows = (0 until lshDims).map { d =>
+      val comps = (0 until e02Planes)
+        .map(p => Similarity.planeComponent(p, d).toString)
+        .mkString(", ")
+      s"(${d + 1}, $comps)"
+    }.mkString(",\n         ")
+    val dotCols = (0 until e02Planes)
+      .map(p => s"sum(v::DOUBLE * p$p) AS d$p").mkString(", ")
+    val bucketExpr = (0 until e02Planes)
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pl(i, ${(0 until e02Planes).map("p" + _).mkString(", ")}) AS (
+         VALUES $planeRows),
+       e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
            unnest(embedding) AS v FROM embeddings WHERE vec_id < 300),
        norms AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
                  FROM e GROUP BY vec_id),
+       buckets AS (SELECT vec_id, $bucketExpr AS b
+                   FROM (SELECT vec_id, $dotCols
+                         FROM e JOIN pl ON e.i = pl.i GROUP BY vec_id)),
        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 sum(a.v::DOUBLE * b.v::DOUBLE) AS d
                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                JOIN buckets ba ON ba.vec_id = a.vec_id
+                JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.b = bb.b
                 GROUP BY 1, 2)
        SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
        FROM dots JOIN norms na ON na.vec_id = id_a
        JOIN norms nb ON nb.vec_id = id_b
        WHERE round(d / (na.n * nb.n), 6) >= 0.35
        ORDER BY id_a, id_b"""
+  }
 
   /** Sign-random-projection LSH bucket per vector (deterministic md5-
     * derived hyperplanes, reproducible in any engine).
     */
-  val lshPlanes = 8
-  val lshDims = 64
-
   def e03(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"),
@@ -851,12 +877,12 @@ object Queries {
        SELECT cid AS ivf_cluster, count(*) AS n_vectors
        FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
 
-  // ---------------------------------------------------------------- //
-  // No-oracle showcase queries (driver records rows-only checks)      //
-  // ---------------------------------------------------------------- //
-
-  /** IVF top-k search: scan only the query's nprobe nearest clusters
-    * (rows-only check; assignment itself is oracle-checked by e04).
+  /** IVF top-k search: scan only the query's nprobe nearest clusters.
+    * The oracle replays the full chain in SQL: deterministic centroids
+    * (8 smallest vec_ids) -> per-vector assignment (e04's tie-break) ->
+    * probe selection (query = vec 42's embedding; top-3 centroids by
+    * cosine, ties to lower cid — matching the Scala stable sort) ->
+    * probe-pruned scan -> top-10.
     */
   def e05(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -869,31 +895,156 @@ object Queries {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
-  /** Full transcript pipeline fan-out on synthesized data. */
+  val e05Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v FROM c),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM ce GROUP BY cid),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM be GROUP BY vec_id),
+       dots AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       assigned AS (SELECT vec_id, cid FROM (
+                  SELECT dots.vec_id, dots.cid,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid) WHERE rn = 1),
+       qe AS (SELECT generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings WHERE vec_id = 42),
+       qn AS (SELECT sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM qe),
+       qc AS (SELECT ce.cid, sum(qe.v::DOUBLE * ce.v::DOUBLE) AS d
+              FROM qe JOIN ce ON qe.i = ce.i GROUP BY ce.cid),
+       probes AS (SELECT qc.cid FROM qc JOIN cn ON cn.cid = qc.cid, qn
+                  ORDER BY qc.d / (qn.n * cn.n) DESC, qc.cid LIMIT 3),
+       qd AS (SELECT be.vec_id, sum(be.v::DOUBLE * qe.v::DOUBLE) AS d
+              FROM be JOIN qe ON be.i = qe.i GROUP BY be.vec_id)
+       SELECT a.vec_id, round(qd.d / (bn.n * qn.n), 6) AS cosine
+       FROM assigned a JOIN probes p ON p.cid = a.cid
+       JOIN qd ON qd.vec_id = a.vec_id JOIN bn ON bn.vec_id = a.vec_id, qn
+       ORDER BY qd.d / (bn.n * qn.n) DESC, a.vec_id LIMIT 10"""
+
+  // ---------------------------------------------------------------- //
+  // Flagship pipeline queries: a deterministic Turn-shaped transcript //
+  // is CONSTRUCTED from the events table (both engines build the      //
+  // identical text — the q22 technique), then Spark runs the REAL     //
+  // pipeline operators (Parse -> Route -> Enrich -> prefix scan)      //
+  // while the oracle replays the same semantics in SQL.               //
+  // ---------------------------------------------------------------- //
+
+  /** events -> Turn-shaped transcript: conv = user, turn = event_id,
+    * role from event_type ('error' maps to an UNKNOWN role, exercising
+    * the `other` sink), text a mix of grok lines / headers /
+    * continuations / garbage selected by deterministic event_id mods.
+    */
+  def eventsAsTurns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val role = when(col("event_type") === "view", lit("user"))
+      .when(col("event_type") === "click", lit("assistant"))
+      .when(col("event_type") === "purchase", lit("tool"))
+      .when(col("event_type") === "signup", lit("system"))
+      .otherwise(lit("watcher"))
+    val tool = when(col("event_type") === "purchase",
+      when(col("event_id") % 11 === 0, lit("mystery_tool"))
+        .otherwise(lit("search")))
+    val level = when(col("value") > 150.0, lit("WARN")).otherwise(lit("INFO"))
+    val grokLine = concat(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" "),
+      level, lit(" ["), role, lit("] "), col("props"))
+    val text =
+      when(col("event_id") % 97 === 0, lit("#Version: 2.0"))
+        .when(col("event_id") % 89 === 0, concat(lit("    cont "), col("props")))
+        .when(col("event_id") % 83 === 0, concat(lit("@@garbage "), col("props")))
+        .otherwise(grokLine)
+    ev.select(
+      concat(lit("conv-"), lpad(col("user_id").cast("string"), 8, "0"))
+        .as("conv_id"),
+      col("event_id").cast("int").as("turn_idx"),
+      role.as("role"), text.as("text"), tool.as("tool"), col("ts"))
+  }
+
+  /** The shared SQL prelude mirroring [[eventsAsTurns]] + the routing
+    * decision (Parse.parseColumns validation + Route.sinkExpr precedence
+    * with excludePattern `"k": 8\d`).
+    */
+  private val pipelineSqlPrelude: String =
+    """WITH t AS (SELECT event_id, user_id, ts, value, props,
+         CASE event_type WHEN 'view' THEN 'user' WHEN 'click' THEN 'assistant'
+              WHEN 'purchase' THEN 'tool' WHEN 'signup' THEN 'system'
+              ELSE 'watcher' END AS role
+         FROM events),
+       x AS (SELECT *,
+         CASE WHEN event_id % 97 = 0 THEN '#Version: 2.0'
+              WHEN event_id % 89 = 0 THEN '    cont ' || props
+              WHEN event_id % 83 = 0 THEN '@@garbage ' || props
+              ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
+                   CASE WHEN value > 150.0 THEN 'WARN' ELSE 'INFO' END ||
+                   ' [' || role || '] ' || props END AS text
+         FROM t),
+       r AS (SELECT *,
+         CASE WHEN (starts_with(text, '#Version: ') AND length(text) > 10
+                    AND NOT contains(text, chr(10)))
+                OR (starts_with(text, '#Fields: ') AND length(text) > 9
+                    AND NOT contains(text, chr(10))) THEN 'consumed'
+              WHEN NOT (regexp_matches(text,
+                  '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z (TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \[\w+\] ')
+                  AND NOT contains(text, chr(10)))
+                AND NOT regexp_matches(text, '^\s+') THEN 'deadletter'
+              WHEN regexp_matches(text, '"k": 8\d') THEN 'excluded'
+              WHEN role IN ('user','assistant','tool','system') THEN role
+              ELSE 'other' END AS sink
+         FROM x)"""
+
+  /** Full transcript pipeline fan-out: the REAL operator chain
+    * ([[graft.pipeline.Pipeline]]: parseColumns -> Route -> Enrich ->
+    * fused prefix scan) over the constructed transcript; per-sink
+    * counts oracle-checked against the SQL routing mirror.
+    */
   def p01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.pipeline._
-    val ts = Synth.turns(spark, 42L, 200L)
-    Route(Enrich(Parse(ts)), excludePattern = "token")
+    val turns = eventsAsTurns(spark, dir).as[Turn]
+    Pipeline(turns, excludePattern = "\"k\": 8\\d")
       .groupBy(col("sink")).agg(count(lit(1)).as("n_turns"))
       .orderBy(col("sink"))
   }
 
-  /** Pipeline per-sink hourly aggregate. */
+  val p01Sql: String =
+    pipelineSqlPrelude +
+      """
+       SELECT sink, count(*) AS n_turns FROM r GROUP BY sink ORDER BY sink"""
+
+  /** Pipeline per-sink hourly aggregate ([[graft.pipeline.Aggregate]]
+    * over the same real operator chain).
+    */
   def p02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.pipeline._
-    val ts = Synth.turns(spark, 42L, 200L)
-    Aggregate.bySinkHour(Route(Enrich(Parse(ts))))
+    val turns = eventsAsTurns(spark, dir).as[Turn]
+    Aggregate.bySinkHour(Pipeline(turns, excludePattern = "\"k\": 8\\d"))
       .withColumn("hour_start",
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy(col("sink"), col("hour_start"))
   }
 
+  val p02Sql: String =
+    pipelineSqlPrelude +
+      """
+       SELECT sink, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              count(*) AS n_turns
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Native-Expression rolling-hash fingerprint (graft.functions
-    * .RollingHashMin, codegen'd O(n) Rabin-Karp) — the scale path of
-    * d10; no SQL oracle (custom hash), driver records rows-only.
+    * .RollingHashMin, codegen'd O(n) Rabin-Karp, polynomial hash mod
+    * 2^62). The oracle recomputes every window's polynomial hash exactly
+    * in HUGEINT (terms < 2^74 fit easily in 128 bits; documents are
+    * ASCII so unicode(char) == the UTF-8 byte the native expression
+    * hashes).
     */
   def f01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .filter(length(col("text")) >= 16)
       .select(col("doc_id"),
         graft.functions.RollingHashMin.rollingHashMin(col("text"), 16)
           .as("fp"))
@@ -901,7 +1052,30 @@ object Queries {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
-  /** Multimodal decode/feature plumbing (stubbed codec, real dataflow). */
+  val f01Sql: String = {
+    val w = 16
+    val mask = graft.functions.RollingHashMin.Mask
+    // B^(w-1-j) mod 2^62 for window position j
+    val pows = (0 until w).scanLeft(1L)((p, _) =>
+      (p * graft.functions.RollingHashMin.Base) & mask).take(w).reverse
+    val terms = (0 until w).map { j =>
+      s"CAST(unicode(substr(text, i + $j, 1)) AS HUGEINT) * ${pows(j)}::HUGEINT"
+    }.mkString(" +\n           ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+       w AS (SELECT doc_id, CAST((
+           $terms
+         ) % ${mask + 1}::HUGEINT AS BIGINT) AS h
+         FROM d, UNNEST(generate_series(1, length(text) - ${w - 1})) u(i)),
+       mins AS (SELECT doc_id, min(h) AS fp FROM w GROUP BY doc_id)
+       SELECT fp, count(*) AS n_docs FROM mins GROUP BY fp
+       HAVING count(*) > 1 ORDER BY fp"""
+  }
+
+  /** Multimodal decode/feature plumbing (stubbed codec, real dataflow).
+    * The generator's kind and payload size are closed-form functions of
+    * the id, so the oracle needs no table at all — a pure
+    * `range(500)` recomputation.
+    */
   def m01(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal
     val media = Multimodal.synthMedia(spark, 500L)
@@ -910,6 +1084,15 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
       .orderBy(col("kind"))
   }
+
+  val m01Sql: String =
+    """WITH m AS (SELECT range AS id,
+         CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         272 + ((range * 2654435761) % 1024) AS n_bytes
+       FROM range(500))
+       SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+       FROM m GROUP BY kind ORDER BY kind"""
 
   // ---------------------------------------------------------------- //
 
@@ -993,6 +1176,11 @@ object Queries {
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql,
-    "e04_ivf_assignment" -> e04Sql
+    "e04_ivf_assignment" -> e04Sql,
+    "e05_ivf_topk" -> e05Sql,
+    "f01_rolling_hash_native" -> f01Sql,
+    "m01_multimodal_features" -> m01Sql,
+    "p01_pipeline_fanout" -> p01Sql,
+    "p02_pipeline_hourly" -> p02Sql
   )
 }

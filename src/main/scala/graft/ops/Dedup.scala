@@ -54,18 +54,33 @@ object Dedup {
         x => x.isNotNull)))
   }
 
-  /** Exploded (id, shingle) view — the input to MinHash and Jaccard. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
-
-  /** One MinHash value: min over the doc's shingles of the first 8 hex
-    * chars of md5(seed || shingle). String-min of fixed-width hex ==
-    * numeric min; md5 keeps the oracle expressible in SQL.
+  /** Exploded (id, shingle) view — the input to MinHash. NOT
+    * deduplicated or sorted: `min` is idempotent, so set semantics buy
+    * nothing here and the O(T^2) `array_distinct` + O(T log T)
+    * `array_sort` per doc are pure overhead (use [[shingles]] where
+    * Jaccard's set semantics actually matter).
     */
-  def minhashCol(shingleArr: Column, seed: Int): Column =
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val all = filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+      x => x.isNotNull)
+    df.select(col(idCol), explode(all).as("shingle"))
+  }
+
+  /** One MinHash value from a shared digest: hex slice `i` (4 chars =
+    * 16 bits) of md5(shingle). All `k` hash functions are slices of ONE
+    * md5 per shingle — md5's bits are independent, so the slices act as
+    * k independent minhash functions at 1/k the hash work (the 8-md5
+    * form measured 8x the digest cost for identical LSH behavior).
+    * String-min of fixed-width hex == numeric min; md5 keeps the oracle
+    * expressible in SQL.
+    */
+  def minhashCol(shingleArr: Column, i: Int): Column =
     array_min(transform(shingleArr,
-      s => substring(md5(concat(lit(s"$seed|"), s)), 1, 8)))
+      s => substring(md5(s), 1 + 4 * i, 4)))
 
   /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc,
     * as ONE grouped aggregate over exploded (id, shingle) rows — the
@@ -74,13 +89,29 @@ object Dedup {
     * k `array_min(transform(sh, ...))` columns over a projected array —
     * re-inlines the whole shingling expression into every hash column
     * after projection collapse: measured 8x slower with k=8.)
+    *
+    * One md5 per shingle, sliced into 4-hex-char (16-bit) minhash
+    * values; the projection materializes the digest ONCE (md5 is
+    * non-cheap, so CollapseProject keeps it out of the 8 agg inputs).
+    * 16-bit values bias the Jaccard estimate by ~|A∪B|/2^16 — noise at
+    * document scale — and band signatures (2 slices = 32 bits) stay
+    * collision-safe.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
+    // one md5 digest per 8 slices: digest g of a shingle is md5(shingle)
+    // for g=0 and md5("g|shingle") for g>0 (seed-prefixed, same scheme the
+    // oracle can replay); hash i = 4-hex slice i%8 of digest i/8.
+    val nDigests = (numHashes + 7) / 8
+    val digests = (0 until nDigests).map { g =>
+      val d = if (g == 0) md5(col("shingle"))
+        else md5(concat(lit(s"$g|"), col("shingle")))
+      d.as(s"_h$g")
+    }
     val sh = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol) +: digests: _*)
     val aggs = (0 until numHashes).map { i =>
-      min(substring(md5(concat(lit(s"$i|"), col("shingle"))), 1, 8))
-        .as(s"mh$i")
+      min(substring(col(s"_h${i / 8}"), 1 + 4 * (i % 8), 4)).as(s"mh$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

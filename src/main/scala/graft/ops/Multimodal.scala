@@ -42,11 +42,14 @@ object Multimodal {
 
   /** Deterministic synthetic payload: 16-byte header
     * [magic(4) | width(4) | height(4) | duration(4)] + seeded noise body.
+    * Body LENGTH is a closed-form function of the id (`256 +
+    * (id * 2654435761) % 1024`) so size-derived outputs are
+    * oracle-recomputable in plain SQL; body CONTENT stays seeded noise.
     */
   def synthPayload(id: Long, kind: String, w: Int, h: Int,
       dur: Int): Array[Byte] = {
     val rng = new java.util.Random(id * 2654435761L)
-    val body = new Array[Byte](256 + rng.nextInt(1024))
+    val body = new Array[Byte](256 + ((id * 2654435761L) % 1024L).toInt)
     rng.nextBytes(body)
     val bb = java.nio.ByteBuffer.allocate(16 + body.length)
     bb.putInt(0x4D454449) // "MEDI"
@@ -55,11 +58,14 @@ object Multimodal {
     bb.array()
   }
 
+  /** Kind is id % 3 (image/audio/video) — closed-form for the oracle;
+    * dimensions/duration metadata stay seeded pseudo-random.
+    */
   def synthMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism).map { id =>
       val rng = new java.util.Random(id)
-      val kind = Seq("image", "audio", "video")(rng.nextInt(3))
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val (w, h, d) = kind match {
         case "image" => (64 + rng.nextInt(512), 64 + rng.nextInt(512), 0)
         case "audio" => (0, 0, 1000 + rng.nextInt(60000))

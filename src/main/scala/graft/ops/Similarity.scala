@@ -184,9 +184,13 @@ object Similarity {
     * At scale, write the corpus bucketed by `lsh_bucket` so this is a
     * co-partitioned self-join with no shuffle.
     */
+  /** `scoreRound >= 0` rounds the cosine to that many digits BEFORE the
+    * threshold compare (and in the output) — engine-independent
+    * borderline behavior for oracle cross-checks.
+    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, threshold: Double, nPlanes: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, scoreRound: Int = -1): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol).as("_v"))
       .withColumn("_b", lshBucket(col("_v"), dims, nPlanes))
     val sizes = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("n"))
@@ -199,9 +203,11 @@ object Similarity {
       zip_with(col("a._v"), col("b._v"),
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+    val raw = dot / (norm(col("a._v")) * norm(col("b._v")))
+    val score = if (scoreRound >= 0) round(raw, scoreRound) else raw
     pairs
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (dot / (norm(col("a._v")) * norm(col("b._v")))).as("cosine"))
+        score.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

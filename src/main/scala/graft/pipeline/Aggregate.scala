@@ -43,14 +43,19 @@ object Aggregate {
       routed.groupBy(col("sink"))
         .agg(countDistinct(col("conv_id")).as("n_convs"))
 
-  /** All metric tables, written under `<root>/_metrics/<batchId>/`. */
+  /** All metric tables, written under `<root>/_metrics/<batchId>/`.
+    * Writes are parallel — no coalesce(1): the (sink, hour) table grows
+    * with the time range and at 100x scale a single-task funnel would be
+    * the batch's straggler. AQE already coalesces the post-agg shuffle
+    * to the few partitions the data needs.
+    */
   def writeAll(routed: DataFrame, root: String, batchId: String): Unit = {
     val base = s"$root/_metrics/$batchId"
-    bySinkRole(routed).coalesce(1).write.mode("overwrite")
+    bySinkRole(routed).write.mode("overwrite")
       .parquet(s"$base/by_sink_role")
-    bySinkToolCategory(routed).coalesce(1).write.mode("overwrite")
+    bySinkToolCategory(routed).write.mode("overwrite")
       .parquet(s"$base/by_sink_tool_category")
-    bySinkHour(routed).coalesce(1).write.mode("overwrite")
+    bySinkHour(routed).write.mode("overwrite")
       .parquet(s"$base/by_sink_hour")
   }
 }

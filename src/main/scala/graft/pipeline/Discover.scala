@@ -54,7 +54,10 @@ object Discover {
     */
   def watermarkPredicate(wms: Map[String, Timestamp]): Column = {
     val days = wms.keys.toSeq.sorted
-    val newDay = !col("day").isin(days: _*)
+    // null day (a __HIVE_DEFAULT_PARTITION__ analog) must behave like the
+    // join fallback: unknown day -> no watermark -> row kept. A bare
+    // `!isin` evaluates to null for null day and would drop the row.
+    val newDay = col("day").isNull || !col("day").isin(days: _*)
     wms.toSeq.sortBy(_._1).foldLeft(newDay) { case (acc, (d, t)) =>
       acc || (col("day") === lit(d) && col("ts") > lit(t))
     }
@@ -89,14 +92,17 @@ object Discover {
           .drop("wm")
       }
 
-    watermarked
+    val guarded = watermarked
       .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
       .filter(length(col("text")) > 0) // S3 zero-length skip
-      // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
-      // archive namespace (conv_id carrying the archive prefix) are never
-      // discovered again — the anti-self-join done as a prefix predicate,
-      // exactly as the reference does it.
-      .filter(!col("conv_id").startsWith(cfg.archivePrefix))
+    // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
+    // archive namespace (conv_id carrying the archive prefix) are never
+    // discovered again — the anti-self-join done as a prefix predicate,
+    // exactly as the reference does it. An empty/null prefix disables the
+    // guard (startsWith("") is true for EVERY value and would drop all
+    // rows), mirroring the excludePattern empty-string handling in Route.
+    if (cfg.archivePrefix == null || cfg.archivePrefix.isEmpty) guarded
+    else guarded.filter(!col("conv_id").startsWith(cfg.archivePrefix))
   }
 
   /** New high watermark per day in the delta (for the lineage commit). */

@@ -103,10 +103,13 @@ object PrefixOps {
       .withColumn("_runv", last(col("_val"), ignoreNulls = true).over(wIn))
       .withColumn("_runs", sum(col("_ind")).over(wIn))
 
-    // one row per (conv, chunk): the chunk's final running values
+    // one row per (conv, chunk): the chunk's final running values.
+    // max_by(run, idx) = the running value AT THE CHUNK'S LAST ROW — the
+    // correct chunk total for ANY indicator sign (a plain max(_runs)
+    // would silently mis-carry for negative indicators).
     val summaries = within.groupBy(col(convCol), col("_chunk"))
       .agg(max_by(col("_runv"), col(idxCol)).as("_chunk_last"),
-        max(col("_runs")).as("_chunk_sum"))
+        max_by(col("_runs"), col(idxCol)).as("_chunk_sum"))
     val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = summaries

@@ -132,6 +132,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS turns_bucketed")
   }
 
+  test("e02 near-dup pairs: bucketed equi-join, never a cartesian product") {
+    // The LSH-bucketed pair generation must plan the self-join as an
+    // equi-join on the bucket id — an all-pairs `id_a < id_b` join is a
+    // BroadcastNestedLoopJoin/CartesianProduct, i.e. O(n^2) rows moved:
+    // correct at sf0.01, a job-killer at 10^9 vectors.
+    val plan = physical(
+      graft.Queries.e02(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"e02 must join by LSH bucket, not all-pairs:\n$plan")
+  }
+
   test("routing + parse stay inside whole-stage codegen") {
     val routed = Route(Parse.parseColumns(
       spark.read.parquet(s"$scratch/input")))
