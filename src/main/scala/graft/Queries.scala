@@ -486,6 +486,96 @@ object Queries {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
        FROM p GROUP BY event_type ORDER BY event_type"""
 
+  /** P3 configurable form: the multiline codec's `pattern`/`negate`/
+    * `what` surface (spec:486) with the `what=next` semantics — a line
+    * whose props match the pattern glues to the FOLLOWING line, so the
+    * record boundary depends on the PREVIOUS row's match (a chunked lag
+    * + prefix sum; see Parse.sessionizeConfigured / PrefixOps.lagOne).
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.pipeline.Parse.sessionizeConfigured(ev,
+        graft.pipeline.Parse.MultilineConfig("\"k\": [1-4]",
+          negate = false, what = "next"),
+        chunkSize = 64, convCol = "user_id", idxCol = "event_id",
+        textCol = "props")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q23Sql: String =
+    """WITH b AS (
+         SELECT user_id, event_id,
+                regexp_matches(props, '"k": [1-4]') AS belongs
+         FROM events),
+       l AS (
+         SELECT user_id, event_id,
+                COALESCE(lag(belongs) OVER
+                  (PARTITION BY user_id ORDER BY event_id), false) AS prev_b
+         FROM b),
+       s AS (
+         SELECT user_id, event_id,
+                CAST(SUM(CASE WHEN prev_b THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_id
+         FROM l)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(event_id) AS first_event, max(event_id) AS last_event
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** P2 pipeline form: the JSON codec as a Parse stage
+    * (Parse.parseJsonColumns) — field promotion, corrupt routing and the
+    * non-string-message passthrough (spec:397-441), over JSON documents
+    * constructed deterministically from events in both engines.
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = t(spark, dir, "events")
+      .withColumn("text",
+        when(col("event_id") % 7 === 0,
+          concat(lit("@@"), col("event_type"))) // corrupt
+          .when(col("event_id") % 13 === 0,
+            concat(lit("{\"message\": [\"GET\","), col("event_id"),
+              lit(",\"/health\"], \"tag\": \""), col("event_type"),
+              lit("\"}"))) // non-string message
+          .otherwise(concat(lit("{\"message\": \"evt "), col("event_id"),
+            lit("\", \"tag\": \""), col("event_type"), lit("\"}"))))
+    val fields = StructType(Seq(
+      StructField("message", StringType), StructField("tag", StringType)))
+    graft.pipeline.Parse.parseJsonColumns(ev, fields)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("json_ok"), 1L).otherwise(0L)).as("n_deadletter"),
+        sum(when(col("json_ok") &&
+          !col("json_message").startsWith("evt "), 1L).otherwise(0L))
+          .as("n_passthrough"),
+        count(col("json_tag")).as("n_tagged"))
+      .orderBy(col("event_type"))
+  }
+
+  val q24Sql: String =
+    """WITH x AS (SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN '@@' || event_type
+              WHEN event_id % 13 = 0 THEN '{"message": ["GET",' || event_id ||
+                   ',"/health"], "tag": "' || event_type || '"}'
+              ELSE '{"message": "evt ' || event_id || '", "tag": "' ||
+                   event_type || '"}' END AS text
+         FROM events),
+       p AS (SELECT event_type, json_valid(text) AS ok,
+         CASE WHEN json_valid(text) THEN text->>'$.message' END AS msg,
+         CASE WHEN json_valid(text) THEN text->>'$.tag' END AS tag
+         FROM x)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_deadletter,
+         CAST(sum(CASE WHEN ok AND NOT starts_with(msg, 'evt ')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_passthrough,
+         count(tag) AS n_tagged
+       FROM p GROUP BY event_type ORDER BY event_type"""
+
   /** TPC-H Q1-ish flagship aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -1119,6 +1209,8 @@ object Queries {
     "q20_multiline_merge" -> (q20 _),
     "q21_corrupt_json_deadletter" -> (q21 _),
     "q22_glacier_restore_header" -> (q22 _),
+    "q23_multiline_configured" -> (q23 _),
+    "q24_json_codec_mode" -> (q24 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -1163,6 +1255,8 @@ object Queries {
     "q20_multiline_merge" -> q20Sql,
     "q21_corrupt_json_deadletter" -> q21Sql,
     "q22_glacier_restore_header" -> q22Sql,
+    "q23_multiline_configured" -> q23Sql,
+    "q24_json_codec_mode" -> q24Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,

@@ -147,12 +147,96 @@ object Parse {
 
   /** P3: multiline sessionization. A turn starts a new logical record
     * unless it is a continuation line; `session_id` is the running count
-    * of record starts. Adds `session_id`.
+    * of record starts. Adds `session_id`. (Equivalent to
+    * [[sessionizeConfigured]] with `MultilineConfig("^\\s+", negate =
+    * false, what = "previous")` — this overload is the pipeline's
+    * pre-parsed fast path, reusing the `is_continuation` column.)
     */
   def sessionize(df: DataFrame, chunkSize: Int = 4096): DataFrame =
     PrefixOps.prefixSum(df,
       when(col("is_continuation"), lit(0)).otherwise(lit(1)),
       "session_id", chunkSize)
+
+  /** The reference multiline codec's full configuration surface
+    * (spec/inputs/s3_spec.rb:486: `pattern`/`negate`/`what`).
+    * A line "belongs to a multiline event" when its text matches
+    * `pattern` (inverted by `negate`); `what` says which neighbor it
+    * glues to: `previous` appends it to the preceding record, `next`
+    * glues it to the following line.
+    */
+  case class MultilineConfig(pattern: String, negate: Boolean = false,
+      what: String = "previous") {
+    require(what == "previous" || what == "next",
+      s"what must be previous|next, got $what")
+  }
+
+  /** Config-driven multiline grouping (the `LogStash::Codecs::Multiline`
+    * analog): adds `session_id` = the record id under `cfg`, via the
+    * scale-safe chunked prefix primitives. The reference fixture
+    * (`__SEPARATOR__`, negate=true, what=previous -> 2 records from
+    * multiline.log) is the golden test.
+    *
+    *  - what=previous: row starts a record iff it does NOT belong —
+    *    a pure column indicator into one prefix sum;
+    *  - what=next: row starts a record iff the PREVIOUS row did not
+    *    belong (first row always starts) — one chunked lag, then the
+    *    same prefix sum. Same shuffle count as `previous` plus the
+    *    (conv, chunk)-local lag join.
+    */
+  def sessionizeConfigured(df: DataFrame, cfg: MultilineConfig,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx", textCol: String = "text"): DataFrame = {
+    val matches = col(textCol).rlike(cfg.pattern)
+    val belongs = if (cfg.negate) !matches else matches
+    cfg.what match {
+      case "previous" =>
+        PrefixOps.prefixSum(df, when(belongs, lit(0)).otherwise(lit(1)),
+          "session_id", chunkSize, convCol, idxCol)
+      case "next" =>
+        val lagged = PrefixOps.lagOne(df, belongs, "_prev_belongs",
+          chunkSize, convCol, idxCol)
+        PrefixOps.prefixSum(lagged,
+          when(coalesce(col("_prev_belongs"), lit(false)), lit(0))
+            .otherwise(lit(1)),
+          "session_id", chunkSize, convCol, idxCol)
+          .drop("_prev_belongs")
+    }
+  }
+
+  /** P2: JSON codec mode (spec:397-441; fixtures json.log,
+    * json_with_message.log). Whole-event JSON decode with top-level
+    * field promotion (`json_<field>` columns), corrupt-record routing
+    * (json_ok=false -> deadletter, never a job failure) and the
+    * reference's message-passthrough rule: a `message` whose JSON value
+    * is NOT a string ("Avoid parsing non string elements",
+    * CHANGELOG.md:85) survives as its raw JSON text in `json_message`
+    * rather than nulling out.
+    *
+    * `text` is never rewritten (byte-equality invariant) — all decode
+    * output lands in new columns.
+    */
+  def parseJsonColumns(df: DataFrame,
+      fields: org.apache.spark.sql.types.StructType,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val schema = fields.add("_corrupt", StringType)
+    val parsed = df.withColumn("_j", from_json(col(textCol), schema,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    // validity = the text IS a JSON document (a field-level type mismatch
+    // does not condemn the event — the reference emits json_with_message
+    // rows as normal events)
+    val withOk = parsed.withColumn("json_ok",
+      get_json_object(col(textCol), "$").isNotNull)
+    val promoted = fields.fields.foldLeft(withOk) { (acc, f) =>
+      if (f.name == "message")
+        acc.withColumn("json_message",
+          coalesce(col("_j.message").cast(StringType),
+            when(col("json_ok"),
+              get_json_object(col(textCol), "$.message"))))
+      else acc.withColumn(s"json_${f.name}", col(s"_j.${f.name}"))
+    }
+    promoted.drop("_j")
+  }
 
   /** Merge each multiline session into one logical record (the
     * multiline codec's output shape: 2 merged events from 4 physical

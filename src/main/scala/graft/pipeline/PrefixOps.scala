@@ -135,6 +135,42 @@ object PrefixOps {
         "_carry_sum")
   }
 
+  /** Chunked lag-1: `outCol` = the value of `valueCol` on the PREVIOUS
+    * row of the conversation (null on the first row) — same bounded
+    * two-level decomposition as the scans: lag within each (conv, chunk)
+    * window, chunk-head rows take the previous chunk's last value from a
+    * summary join. Needed by `what=next` multiline semantics (the
+    * boundary decision depends on the preceding line's match).
+    *
+    * Chunk heads are detected by row_number (not by null-coalescing), so
+    * a legitimately-null previous value stays null.
+    */
+  def lagOne(df: DataFrame, valueCol: Column, outCol: String,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx"): DataFrame = {
+    val chunked = df
+      .withColumn("_val", valueCol)
+      .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
+    val wIn = Window.partitionBy(col(convCol), col("_chunk"))
+      .orderBy(col(idxCol))
+    val within = chunked
+      .withColumn("_lag", lag(col("_val"), 1).over(wIn))
+      .withColumn("_rn", row_number().over(wIn))
+
+    val summaries = chunked.groupBy(col(convCol), col("_chunk"))
+      .agg(max_by(col("_val"), col(idxCol)).as("_chunk_last"))
+    val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
+    val carry = summaries
+      .withColumn("_carry", lag(col("_chunk_last"), 1).over(wCarry))
+      .select(col(convCol), col("_chunk"), col("_carry"))
+
+    within
+      .join(carry.hint("SHUFFLE_HASH"), Seq(convCol, "_chunk"), "left")
+      .withColumn(outCol,
+        when(col("_rn") === 1, col("_carry")).otherwise(col("_lag")))
+      .drop("_val", "_chunk", "_lag", "_rn", "_carry")
+  }
+
   /** Running sum of an integer indicator per conv ordered by turn_idx —
     * the sessionization primitive (P3: multiline grouping). Adds `outCol`
     * = inclusive prefix sum of `indicator`.

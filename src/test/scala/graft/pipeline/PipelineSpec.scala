@@ -197,6 +197,93 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "2025-01-01T00:00:02Z INFO [assistant] second line\n   trailing continuation (EOF flush)")
   }
 
+  test("configurable multiline codec reproduces the reference fixture " +
+      "(pattern=__SEPARATOR__, negate=true, what=previous -> 2 events)") {
+    // spec/fixtures/multiline.log verbatim, spec:479-491 config
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val lines = Seq(
+      "__SEPARATOR__",
+      "file:1 record:1 line:1",
+      "file:1 record:1 line:2",
+      "__SEPARATOR__",
+      "file:1 record:2 line:1",
+      "file:1 record:2 line:2")
+    val fixture = lines.zipWithIndex
+      .map { case (l, i) => Turn("f1", i, "user", l, null, ts0) }.toDS()
+    val merged = Parse.mergeSessions(Parse.sessionizeConfigured(
+        fixture.toDF(), Parse.MultilineConfig("__SEPARATOR__",
+          negate = true, what = "previous"), chunkSize = 2))
+      .orderBy($"turn_idx").collect()
+    assert(merged.length == 2, s"expected 2 events, got ${merged.length}")
+    assert(merged(0).getAs[String]("merged_text") ==
+      "__SEPARATOR__\nfile:1 record:1 line:1\nfile:1 record:1 line:2")
+    assert(merged(1).getAs[String]("merged_text") ==
+      "__SEPARATOR__\nfile:1 record:2 line:1\nfile:1 record:2 line:2")
+  }
+
+  test("multiline what=next: matching line glues to the FOLLOWING line") {
+    // classic shell-style continuation: a trailing backslash joins the
+    // next line into the same record
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val lines = Seq("cmd one \\", "  arg continued", "cmd two", "cmd three \\", "  tail")
+    val fixture = lines.zipWithIndex
+      .map { case (l, i) => Turn("f1", i, "user", l, null, ts0) }.toDS()
+    val merged = Parse.mergeSessions(Parse.sessionizeConfigured(
+        fixture.toDF(), Parse.MultilineConfig("\\\\$", negate = false,
+          what = "next"), chunkSize = 2))
+      .orderBy($"turn_idx")
+      .collect().map(_.getAs[String]("merged_text")).toSeq
+    assert(merged == Seq(
+      "cmd one \\\n  arg continued", "cmd two", "cmd three \\\n  tail"))
+  }
+
+  test("sessionizeConfigured(^\\s+, previous) == the built-in sessionize") {
+    val parsed = Parse.parseColumns(Synth.turns(spark, seed, 30L).toDF())
+    val builtin = Parse.sessionize(parsed, chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"session_id")
+    val configured = Parse.sessionizeConfigured(parsed,
+        Parse.MultilineConfig("^\\s+"), chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"session_id")
+    assert(builtin.exceptAll(configured).isEmpty &&
+      configured.exceptAll(builtin).isEmpty)
+  }
+
+  test("JSON codec mode: field promotion, corrupt routing, non-string " +
+      "message passthrough (json.log / json_with_message.log analogs)") {
+    import org.apache.spark.sql.types._
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val fixture = Seq(
+      // json.log analog: plain objects, no message field
+      Turn("j1", 0, "user", """{ "hello": "world" }""", null, ts0),
+      Turn("j1", 1, "user", """{ "hello": "awesome world" }""", null, ts0),
+      // json_with_message.log analog: message is an ARRAY / a BOOLEAN
+      Turn("j1", 2, "user", """{ "message": ["GET", 32, "/health"] }""", null, ts0),
+      Turn("j1", 3, "user", """{ "message": true }""", null, ts0),
+      // a string message decodes normally
+      Turn("j1", 4, "user", """{ "message": "plain", "hello": "hi" }""", null, ts0),
+      // corrupt line -> json_ok=false, never a crash
+      Turn("j1", 5, "user", """{ "hello": broken""", null, ts0)
+    ).toDS()
+    val fields = StructType(Seq(
+      StructField("hello", StringType), StructField("message", StringType)))
+    val out = Parse.parseJsonColumns(fixture.toDF(), fields)
+      .orderBy($"turn_idx")
+      .select($"json_ok", $"json_hello", $"json_message")
+      .collect()
+    assert(out.map(_.getBoolean(0)).toSeq ==
+      Seq(true, true, true, true, true, false))
+    assert(out(0).getString(1) == "world" && out(1).getString(1) == "awesome world")
+    // the reference's passthrough rule: non-string message survives as
+    // raw JSON text (spec:429-441), not a null
+    assert(out(2).getString(2) == """["GET",32,"/health"]""")
+    assert(out(3).getString(2) == "true")
+    assert(out(4).getString(2) == "plain")
+    assert(out(5).getString(1) == null && out(5).getString(2) == null)
+    // text byte-equality invariant: decode never rewrites text
+    assert(Parse.parseJsonColumns(fixture.toDF(), fields)
+      .select($"text").exceptAll(fixture.toDF().select($"text")).isEmpty)
+  }
+
   test("header golden case: headers consumed, version stamped on subsequent turns") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     // cloudfront.log analog: #Version + #Fields headers then 2 data rows
