@@ -63,10 +63,43 @@ object Discover {
     }
   }
 
+  /** Enumerate the input table's data files ONCE — the snapshot pin.
+    * The reference lists the bucket once per cycle (s3.rb:144) and
+    * guards against objects mutating between listing and processing
+    * with an mtime recheck (s3.rb:383-390). Spark's lazy evaluation has
+    * the same race in a sneakier form: every action on a DataFrame over
+    * a live directory re-lists it, so a file appended mid-cycle (after
+    * the watermark collect, before the staged write — or on a cache
+    * eviction recompute) could be half-processed and then skipped
+    * forever once the commit advances past its timestamps. Pinning the
+    * file list makes every recomputation read the same snapshot.
+    *
+    * Scale note: this is one name-only listing per cycle — exactly the
+    * reference's ListObjects cost; the driver holds file paths, not data.
+    */
+  def listInputFiles(spark: SparkSession, inputPath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(inputPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith("."))
+        out += f.getPath.toString
+    }
+    out.result().sorted
+  }
+
   /** Discover the unprocessed delta of the transcript table: rows newer
     * than each partition's committed watermark and older than the
     * freshness cutoff. Returns a DataFrame with the input schema plus
-    * the `day` partition column.
+    * the `day` partition column. The underlying scan is PINNED to the
+    * file list enumerated at call time ([[listInputFiles]]) — rows
+    * landing after this call are invisible to every action on the
+    * returned DataFrame and surface in the NEXT cycle's delta.
     *
     * Small watermark maps (the common case: one entry per partition day)
     * become a scan-pushable literal predicate ([[watermarkPredicate]]);
@@ -76,9 +109,16 @@ object Discover {
   def delta(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
       wms: Map[String, Timestamp]): DataFrame = {
     import spark.implicits._
-    val input = spark.read.schema(
-        Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType))
-      .parquet(cfg.inputPath)
+    val schema =
+      Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType)
+    val files = listInputFiles(spark, cfg.inputPath)
+    val input =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .option("basePath", cfg.inputPath) // keep day from the dir layout
+        .parquet(files: _*)
 
     val watermarked =
       if (wms.isEmpty) input

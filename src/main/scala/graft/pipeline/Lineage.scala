@@ -69,27 +69,49 @@ object Lineage {
 
   /** Compact the lineage table when it has accumulated more than
     * `maxFiles` commit files (one tiny parquet per batch): rewrite the
-    * full history into one file and atomically swap directories. The
-    * sincedb analog stays O(1) to read forever, no matter how many
-    * cycles have run — the reference's single-scalar file has the same
-    * property by construction (s3.rb:446-468).
+    * listed history into ONE new file placed ALONGSIDE the old files,
+    * then delete exactly the superseded files. The sincedb analog stays
+    * O(1) to read forever — the reference's single-scalar file has the
+    * same property by construction (s3.rb:446-468).
+    *
+    * Crash-safety (no directory swap, no window where history is gone):
+    *  - the compacted file is written to a SIBLING staging dir (readers
+    *    scan only `_lineage/`, so it is invisible until moved);
+    *  - the single move-in is one HDFS/local rename, checked — on
+    *    failure we abort with the old files fully intact;
+    *  - a crash between the move-in and the deletes leaves the compacted
+    *    file AND some old files: duplicate commit rows, which every
+    *    lineage read tolerates by construction ([[watermarks]] takes
+    *    max per day, [[committedBatches]] a distinct set — both
+    *    idempotent under row duplication), and the next compaction
+    *    removes;
+    *  - only files listed BEFORE the rewrite are deleted — commits
+    *    appended concurrently are never touched.
     */
   def compact(spark: SparkSession, sinkRoot: String, maxFiles: Int = 64): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(sinkRoot))
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path(sinkRoot))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
-    val nFiles = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-    if (nFiles <= maxFiles) return false
-    val all = spark.read.parquet(p.toString).cache()
-    all.count()
-    val tmp = new org.apache.hadoop.fs.Path(path(sinkRoot) + "_compacting")
-    all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    all.unpersist()
-    val old = new org.apache.hadoop.fs.Path(path(sinkRoot) + "_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
+    val oldFiles = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (oldFiles.length <= maxFiles) return false
+    // read EXACTLY the listed files (pinned), rewrite into one file
+    val staging = new Path(path(sinkRoot) + "_compacting")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(oldFiles.map(_.toString): _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(return false).getPath
+    val dest = new Path(p, s"compacted-${System.nanoTime()}.parquet")
+    if (!fs.rename(part, dest)) {
+      // move-in failed: abort, old history untouched
+      fs.delete(staging, true)
+      return false
+    }
+    oldFiles.foreach(f => fs.delete(f, false))
+    fs.delete(staging, true)
     true
   }
 

@@ -24,8 +24,12 @@ object Pipeline {
     val parsed = Parse.parseColumns(ds.toDF())
     val routed = Route(parsed, excludePattern)
     val enriched = Enrich(routed)
-    val scanned = PrefixOps.scanBoth(enriched,
-      col("header_version"), "header",
+    // BOTH header families propagate (the reference carries
+    // cloudfront_version AND cloudfront_fields per file, s3.rb:280-290),
+    // still one fused shuffle (scanMany).
+    val scanned = PrefixOps.scanMany(enriched,
+      Seq(col("header_version") -> "header",
+        col("header_fields") -> "header_fields_carried"),
       when(col("is_continuation"), lit(0)).otherwise(lit(1)), "session_id",
       chunkSize)
     withMeta(scanned, includeObjectProperties)
@@ -46,16 +50,24 @@ object Pipeline {
     df.withColumn("meta", if (includeObjectProperties) full else base)
   }
 
-  /** P8 ECS field-name switch (s3.rb:31, 93-97): pure output renaming —
-    * `disabled` keeps the legacy flat names, `v1` nests them under the
-    * metadata-style prefix. No dataflow difference, exactly like the
-    * reference.
+  /** P8 ECS field-name switch (s3.rb:31, 93-97; docs ECS table): pure
+    * output renaming of the COMPLETE metadata field family — the
+    * reference maps `cloudfront_fields` -> `[@metadata][s3][cloudfront]
+    * [fields]` and `cloudfront_version` -> `...[version]` when
+    * ecs_compatibility=v1, while `[@metadata][s3][key]` (our `meta`
+    * source identity) is always set. `disabled` keeps the legacy flat
+    * names. No dataflow difference, exactly like the reference.
     */
+  val ecsFieldMap: Seq[(String, String)] = Seq(
+    "header" -> "meta_transcript_header_version", // cloudfront_version analog
+    "header_fields_carried" -> "meta_transcript_header_fields", // cloudfront_fields analog
+    "meta" -> "meta_transcript_source") // [@metadata][s3] props analog
+
   def ecsRename(df: DataFrame, ecsCompatibility: String): DataFrame =
     ecsCompatibility match {
       case "disabled" => df
-      case _ => df
-        .withColumnRenamed("header", "meta_transcript_header_version")
-        .withColumnRenamed("meta", "meta_transcript_source")
+      case _ => ecsFieldMap.foldLeft(df) { case (acc, (from, to)) =>
+        acc.withColumnRenamed(from, to)
+      }
     }
 }

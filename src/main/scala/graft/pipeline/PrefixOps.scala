@@ -91,34 +91,59 @@ object PrefixOps {
     */
   def scanBoth(df: DataFrame, valueCol: Column, lastOut: String,
       indicator: Column, sumOut: String, chunkSize: Int = 4096,
+      convCol: String = "conv_id", idxCol: String = "turn_idx"): DataFrame =
+    scanMany(df, Seq(valueCol -> lastOut), indicator, sumOut, chunkSize,
+      convCol, idxCol)
+
+  /** N-column fused scan: running last-non-null for EVERY (valueCol ->
+    * outName) pair plus one running sum, all sharing the single
+    * (conv, chunk) repartition + sort. The reference carries two header
+    * values per file (`#Version:` and `#Fields:`, s3.rb:280-290);
+    * propagating each with its own scan would shuffle the fat rows once
+    * per header family — this carries any number for one shuffle.
+    */
+  def scanMany(df: DataFrame, lastCols: Seq[(Column, String)],
+      indicator: Column, sumOut: String, chunkSize: Int = 4096,
       convCol: String = "conv_id", idxCol: String = "turn_idx"): DataFrame = {
-    val chunked = df
-      .withColumn("_val", valueCol)
+    val n = lastCols.size
+    val valNames = (0 until n).map(i => s"_val$i")
+    val runNames = (0 until n).map(i => s"_runv$i")
+    val chunkLastNames = (0 until n).map(i => s"_chunk_last$i")
+    val carryLastNames = (0 until n).map(i => s"_carry_last$i")
+
+    val chunked = lastCols.zip(valNames)
+      .foldLeft(df) { case (acc, ((c, _), vn)) => acc.withColumn(vn, c) }
       .withColumn("_ind", indicator.cast("long"))
       .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
     val wIn = Window.partitionBy(col(convCol), col("_chunk"))
       .orderBy(col(idxCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = chunked
-      .withColumn("_runv", last(col("_val"), ignoreNulls = true).over(wIn))
+    val within = valNames.zip(runNames)
+      .foldLeft(chunked) { case (acc, (vn, rn)) =>
+        acc.withColumn(rn, last(col(vn), ignoreNulls = true).over(wIn))
+      }
       .withColumn("_runs", sum(col("_ind")).over(wIn))
 
     // one row per (conv, chunk): the chunk's final running values.
     // max_by(run, idx) = the running value AT THE CHUNK'S LAST ROW — the
     // correct chunk total for ANY indicator sign (a plain max(_runs)
     // would silently mis-carry for negative indicators).
+    val summaryAggs =
+      runNames.zip(chunkLastNames).map { case (rn, cl) =>
+        max_by(col(rn), col(idxCol)).as(cl)
+      } :+ max_by(col("_runs"), col(idxCol)).as("_chunk_sum")
     val summaries = within.groupBy(col(convCol), col("_chunk"))
-      .agg(max_by(col("_runv"), col(idxCol)).as("_chunk_last"),
-        max_by(col("_runs"), col(idxCol)).as("_chunk_sum"))
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
     val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = summaries
-      .withColumn("_carry_last",
-        last(col("_chunk_last"), ignoreNulls = true).over(wCarry))
+    val carry = chunkLastNames.zip(carryLastNames)
+      .foldLeft(summaries) { case (acc, (cl, cr)) =>
+        acc.withColumn(cr, last(col(cl), ignoreNulls = true).over(wCarry))
+      }
       .withColumn("_carry_sum",
         coalesce(sum(col("_chunk_sum")).over(wCarry), lit(0L)))
-      .select(col(convCol), col("_chunk"), col("_carry_last"),
-        col("_carry_sum"))
+      .select((Seq(col(convCol), col("_chunk"), col("_carry_sum")) ++
+        carryLastNames.map(col)): _*)
 
     // SHUFFLE_HASH hint on the (tiny) carry side: the big side is
     // already hash-partitioned AND sorted by (conv, chunk) from the
@@ -127,12 +152,17 @@ object PrefixOps {
     // "helpfully" converting it to a runtime broadcast, which measured
     // 6-20x SLOWER at high parallelism (the broadcast build serializes
     // behind the full upstream stage).
-    within
+    val joined = within
       .join(carry.hint("SHUFFLE_HASH"), Seq(convCol, "_chunk"), "left")
-      .withColumn(lastOut, coalesce(col("_runv"), col("_carry_last")))
+    val withOuts = lastCols.map(_._2).zipWithIndex
+      .foldLeft(joined) { case (acc, (out, i)) =>
+        acc.withColumn(out,
+          coalesce(col(runNames(i)), col(carryLastNames(i))))
+      }
       .withColumn(sumOut, col("_runs") + coalesce(col("_carry_sum"), lit(0L)))
-      .drop("_val", "_ind", "_chunk", "_runv", "_runs", "_carry_last",
-        "_carry_sum")
+    withOuts.drop(
+      (valNames ++ runNames ++ carryLastNames ++
+        Seq("_ind", "_chunk", "_runs", "_carry_sum")): _*)
   }
 
   /** Chunked lag-1: `outCol` = the value of `valueCol` on the PREVIOUS

@@ -56,30 +56,121 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputPath)
 
+  /** Persisted per-conversation carry state for [[runForeachBatch]]:
+    * (last header values, running record-start count) per conv, written
+    * as a full-state snapshot per micro-batch. With maxFilesPerTrigger a
+    * conversation can SPAN micro-batches; without a carry, headers seen
+    * in an earlier batch would not stamp later batches and session ids
+    * would restart per batch — diverging from the batch pipeline. The
+    * carry is the foreachBatch analog of the engine-managed state store
+    * (the [[StatefulHeaders]] mechanism), kept in plain parquet so a
+    * retried/restarted batch recomputes it deterministically.
+    *
+    * Validity assumption (same as the reference's serial file read +
+    * oldest-first listing, s3.rb:166): later micro-batches carry later
+    * turn_idx per conversation.
+    */
+  object Carry {
+    import org.apache.spark.sql.types._
+
+    val schema: StructType = StructType(Seq(
+      StructField("conv_id", StringType),
+      StructField("carry_header", StringType),
+      StructField("carry_fields", StringType),
+      StructField("carry_sessions", LongType)))
+
+    def dir(sinkRoot: String): String = s"$sinkRoot/stream/_carry"
+
+    /** Latest carry snapshot from a batch id STRICTLY BEFORE
+      * `beforeBatch` — a retried batch N must not read its own crashed
+      * partial state, only the committed N-1 snapshot.
+      */
+    def read(spark: SparkSession, sinkRoot: String,
+        beforeBatch: Long): DataFrame = {
+      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prev =
+        if (!fs.exists(d)) None
+        else fs.listStatus(d).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filter(_ < beforeBatch)
+          .sorted.lastOption
+      prev match {
+        case Some(b) => spark.read.schema(schema)
+          .parquet(s"${dir(sinkRoot)}/batch=$b")
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
+
+    def write(state: DataFrame, sinkRoot: String, batchId: Long): Unit =
+      state.write.mode("overwrite")
+        .parquet(s"${dir(sinkRoot)}/batch=$batchId")
+  }
+
   /** Production shape: micro-batch = one reference polling cycle.
     * Parse/Enrich/Route are the identical batch operators; per-sink
     * rows append under `<sinkRoot>/stream/<sink>/`. Exactly-once comes
     * from the file source's offset log in `checkpointLocation` plus
     * the deterministic per-batch output dirs.
+    *
+    * Cross-batch continuity: header propagation (P5) and session ids
+    * (P3) are adjusted by the persisted [[Carry]] state, so the
+    * streaming output matches the batch pipeline even when a
+    * conversation spans triggers (maxFilesPerTrigger). A retried batch
+    * reads the previous batch's carry and republishes both the output
+    * dir and its own carry snapshot idempotently.
     */
   def runForeachBatch(spark: SparkSession, inputPath: String,
       sinkRoot: String, checkpoint: String, excludePattern: String = "",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
     import spark.implicits._
-    readTurns(spark, inputPath).writeStream
+    readTurns(spark, inputPath, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
         val turns = batch.as[Turn]
+        val prev = Carry.read(sess, sinkRoot, batchId)
         val routed = Pipeline(turns, excludePattern)
+        // apply carry-in: headers stick across batches; session ids
+        // continue from the running record-start count. Both sides hash
+        // on conv_id (the carry is one row per conv — at scale this is
+        // the same shuffle the batch pipeline's prefix scan already pays)
+        val adjusted = routed
+          .join(prev, Seq("conv_id"), "left")
+          .withColumn("header",
+            coalesce(col("header"), col("carry_header")))
+          .withColumn("header_fields_carried",
+            coalesce(col("header_fields_carried"), col("carry_fields")))
+          .withColumn("session_id",
+            col("session_id") + coalesce(col("carry_sessions"), lit(0L)))
+          .drop("carry_header", "carry_fields", "carry_sessions")
+          .cache()
         // per-batch dir + overwrite => a retried micro-batch republishes
         // the same directory idempotently (no duplicate rows), the same
         // discipline as the batch pipeline's staged publish (Sinks).
-        routed
+        adjusted
           .repartition(col("conv_id"))
           .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
           .write.mode("overwrite").partitionBy("sink")
           .parquet(s"$sinkRoot/stream/batch=$batchId")
+        // carry-out: the conv's state AT ITS LAST ROW of this batch
+        // (header/session are running values, so max_by(., turn_idx) is
+        // the batch-final state), upserted over the previous snapshot
+        val batchCarry = adjusted.groupBy(col("conv_id"))
+          .agg(
+            max_by(col("header"), col("turn_idx")).as("carry_header"),
+            max_by(col("header_fields_carried"), col("turn_idx"))
+              .as("carry_fields"),
+            max_by(col("session_id"), col("turn_idx")).as("carry_sessions"))
+        val merged = prev.join(batchCarry, Seq("conv_id"), "left_anti")
+          .unionByName(batchCarry)
+        Carry.write(merged, sinkRoot, batchId)
+        adjusted.unpersist()
         ()
       }
       .start()

@@ -34,6 +34,49 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("custom gzip_pattern dispatch: a '.gee.zip' gzip file decodes, " +
+      "broken gzip is skipped, plain files pass through (s3.rb:89,326; spec:466-467)") {
+    import graft.sources.GzipPatternSource
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "geezip").toString
+    // gzip content under a name Hadoop's extension dispatch can't see,
+    // with TWO concatenated members (the multi-stream fixture analog)
+    val f = new java.io.File(s"$dir/uncompressed.log.gee.zip")
+    val out = new java.io.FileOutputStream(f)
+    for (m <- 0 until 2) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write((0 until 8).map(i => s"member$m line$i").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      gz.finish()
+    }
+    out.close()
+    // a plain text neighbor: must NOT be gunzipped
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/plain.log"), "alpha\nbeta\n")
+    // a broken "gzip" file: skipped without crashing (s3.rb:292-301)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/broken.gee.zip"),
+      Array[Byte](0x1f, 0x0b, 1, 2, 3))
+
+    // reference test config: gzip_pattern = "gee.zip$" (spec:466-467)
+    val lines = GzipPatternSource.readLines(spark, s"$dir/*", "gee\\.zip$")
+      .cache()
+    val gz = lines.filter($"path".endsWith("uncompressed.log.gee.zip"))
+    assert(gz.count() == 16, "both concatenated members decode")
+    assert(gz.filter($"line".startsWith("member1")).count() == 8)
+    assert(lines.filter($"path".endsWith("plain.log"))
+      .orderBy($"line_no").collect().map(_.line).toSeq ==
+      Seq("alpha", "beta"))
+    assert(lines.filter($"path".endsWith("broken.gee.zip")).count() == 0,
+      "broken file skipped, job alive")
+    // and WITHOUT the custom pattern the same gzip file is (wrongly,
+    // but by design) read as raw bytes — proving dispatch is the regex
+    val raw = GzipPatternSource.readLines(spark, s"$dir/uncompressed.log.gee.zip")
+    assert(raw.filter($"line".startsWith("member")).count() == 0)
+    lines.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("invalid UTF-8 bytes sanitize to U+FFFD on read and survive the parse (invalid_utf8.gbk fixture analog)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "gbk").toString

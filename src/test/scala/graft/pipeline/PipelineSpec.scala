@@ -132,12 +132,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = fatMeta.getMap[String, String](0)
     assert(m("role") == fatMeta.getString(1) && m("turn_idx") == "1" &&
       m.contains("ts") && m.contains("source_conv"))
-    // ECS rename: same rows, different column names
+    // ECS rename: same rows, the COMPLETE metadata family renamed
+    // (cloudfront version + fields + source props analogs, s3.rb:93-97)
     val ecs = Pipeline.ecsRename(slim, "v1")
-    assert(ecs.columns.contains("meta_transcript_header_version") &&
-      !ecs.columns.contains("header"))
+    val expectEcs = Pipeline.ecsFieldMap.map(_._2)
+    assert(expectEcs.forall(ecs.columns.contains),
+      s"v1 must expose ${expectEcs.mkString(",")}, got ${ecs.columns.mkString(",")}")
+    assert(Pipeline.ecsFieldMap.map(_._1).forall(c => !ecs.columns.contains(c)),
+      "v1 must not leave any legacy name behind")
     assert(ecs.count() == slim.count())
-    assert(Pipeline.ecsRename(slim, "disabled").columns sameElements slim.columns)
+    val legacy = Pipeline.ecsRename(slim, "disabled")
+    assert(legacy.columns sameElements slim.columns)
+    assert(Pipeline.ecsFieldMap.map(_._1).forall(legacy.columns.contains),
+      "disabled keeps every legacy flat name")
+  }
+
+  test("both header families propagate (version AND fields) in one fused scan") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val fixture = Seq(
+      Turn("c1", 0, "system", "#Version: 1.0", null, ts0),
+      Turn("c1", 1, "system", "#Fields: date time x-edge", null, ts0),
+      Turn("c1", 2, "user", "2025-01-01T00:00:00Z INFO [user] one", null, ts0),
+      Turn("c1", 3, "user", "2025-01-01T00:00:01Z INFO [user] two", null, ts0)
+    ).toDS()
+    val out = Pipeline(fixture).filter($"sink" =!= "consumed")
+      .orderBy($"turn_idx")
+      .select($"header", $"header_fields_carried").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getString(0) == "1.0" &&
+      r.getString(1) == "date time x-edge"),
+      s"both families must stamp data rows, got ${out.mkString(";")}")
   }
 
   test("salted repartition spreads a hot conversation across partitions") {
@@ -424,6 +448,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.rowsProcessed + r2.rowsProcessed == total)
   }
 
+  test("snapshot-pinned discovery: files appended mid-cycle are invisible " +
+      "to every action on the pinned delta (mtime-recheck analog, s3.rb:383-390)") {
+    val inputPath = s"$scratch/snap_in"
+    val n1 = Synth.writeTable(spark, inputPath, seed, 8L)
+    val cfg = PipelineConfig(inputPath, s"$scratch/snap_sinks")
+    val delta = Discover.delta(spark, cfg, farFuture, Map.empty) // pin here
+    assert(delta.count() == n1)
+
+    // append files INTO THE SAME day partitions after the pin — the
+    // worst case: an unpinned scan would re-list and double-count these
+    // on any recompute (cache eviction, second action)
+    val extra = Synth.turns(spark, seed + 9, 4L).toDF()
+      .withColumn("conv_id", concat(lit("z-"), $"conv_id"))
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nExtra = extra.count()
+    extra.write.mode("append").partitionBy("day").parquet(inputPath)
+
+    // every further action on the SAME delta reads the pinned file list
+    assert(delta.count() == n1, "appended files must be invisible mid-cycle")
+    assert(delta.groupBy($"day").count().agg(sum($"count")).head().getLong(0) == n1)
+
+    // the NEXT cycle's pin sees old + new exactly once
+    val delta2 = Discover.delta(spark, cfg, farFuture, Map.empty)
+    assert(delta2.count() == n1 + nExtra)
+  }
+
   test("empty/missing lineage reads as epoch watermark (sincedb_spec analog)") {
     assert(Lineage.watermarks(spark, s"$scratch/nonexistent").isEmpty)
     val df = Lineage.read(spark, s"$scratch/nonexistent")
@@ -477,6 +527,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.toSeq == before.toSeq, "history identical after compaction")
     assert(Lineage.watermarks(spark, root) == wmBefore)
     assert(!Lineage.compact(spark, root, maxFiles = 16), "idempotent no-op below threshold")
+
+    // crash-window simulation: a compaction that died between the
+    // compacted-file move-in and the old-file deletes leaves DUPLICATE
+    // commit rows. Every lineage read must be idempotent under that
+    // (max-per-day watermarks, distinct batch set), and the next
+    // compaction converges back to one file.
+    val one = fs.listStatus(p).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, one, fs,
+      new org.apache.hadoop.fs.Path(p, "dup-leftover.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(Lineage.watermarks(spark, root) == wmBefore,
+      "watermarks unchanged under duplicated history")
+    assert(Lineage.committedBatches(spark, root) ==
+      before.indices.map(i => s"b${i + 1}").toSet,
+      "batch set unchanged under duplicated history")
+    assert(Lineage.compact(spark, root, maxFiles = 1), "re-compaction converges")
+    assert(fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    assert(Lineage.watermarks(spark, root) == wmBefore)
   }
 
   test("approx distinct-convs per sink tracks exact within 15% (3x default rsd)") {

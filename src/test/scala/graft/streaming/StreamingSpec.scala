@@ -114,6 +114,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch carry: conversations spanning micro-batches get the " +
+      "SAME headers and session ids as the batch pipeline") {
+    val input = s"$scratch/carry_input"
+    val sinkRoot = s"$scratch/carry_sinks"
+    val ckpt = s"$scratch/carry_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // one conversation split across TWO files: header + first lines in
+    // file A; continuations + more lines in file B (later turns)
+    val fileA = Seq(
+      Turn("cc", 0, "system", "#Version: 9.9", null, ts0),
+      Turn("cc", 1, "system", "#Fields: a b c", null, ts0),
+      Turn("cc", 2, "user", "2025-01-01T00:00:01Z INFO [user] one", null, ts0),
+      Turn("cc", 3, "user", "    continued from one", null, ts0))
+    val fileB = Seq(
+      Turn("cc", 4, "user", "    still continued", null, ts0),
+      Turn("cc", 5, "assistant", "2025-01-01T00:00:05Z INFO [assistant] two", null, ts0),
+      Turn("dd", 0, "user", "2025-01-01T00:00:06Z INFO [user] fresh conv", null, ts0))
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    // make file A strictly older so the source orders A before B
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    val q = Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val nBatches = new java.io.File(s"$sinkRoot/stream").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(nBatches >= 2, s"conversation must span micro-batches, got $nBatches")
+
+    val streamed = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream")
+      .select($"conv_id", $"turn_idx", $"header",
+        $"header_fields_carried", $"session_id")
+    val batch = Pipeline((fileA ++ fileB).toDS())
+      .select($"conv_id", $"turn_idx", $"header",
+        $"header_fields_carried", $"session_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streaming (split) must equal batch:\nstream=${streamed.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}\n" +
+        s"batch=${batch.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}")
+    // spot-check the semantics the carry exists for: batch-B rows carry
+    // batch-A's header, and the continuation at the batch boundary does
+    // NOT open a new session
+    val rows = streamed.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(4))).toMap
+    assert(rows(("cc", 4))._1 == "9.9", "header crossed the batch boundary")
+    assert(rows(("cc", 4))._2 == rows(("cc", 3))._2,
+      "continuation at the boundary stays in the same session")
+    assert(rows(("dd", 0))._1 == null, "no cross-conversation leakage")
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
