@@ -1015,6 +1015,90 @@ object Queries {
        JOIN qd ON qd.vec_id = a.vec_id JOIN bn ON bn.vec_id = a.vec_id, qn
        ORDER BY qd.d / (bn.n * qn.n) DESC, a.vec_id LIMIT 10"""
 
+  /** One Lloyd/k-means refinement iteration, DataFrame-native (the
+    * distributed shape behind [[Similarity.kmeansIteration]]): per
+    * (cluster, dim) mean of the assigned vectors — a single hash
+    * aggregate over exploded components. The oracle replays assignment
+    * (e04's tie-break) + the means in SQL.
+    */
+  def e06(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    Similarity.ivfAssign(emb, "embedding", cents)
+      .select(col("ivf_cluster"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("ivf_cluster"), col("d").cast("long").as("d"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean"))
+      .orderBy(col("ivf_cluster"), col("d"))
+  }
+
+  val e06Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v FROM c),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM ce GROUP BY cid),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM be GROUP BY vec_id),
+       dots AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       a AS (SELECT vec_id, cid FROM (
+                  SELECT dots.vec_id, dots.cid,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid) WHERE rn = 1)
+       SELECT a.cid AS ivf_cluster, be.i - 1 AS d,
+              round(avg(be.v::DOUBLE), 6) AS mean
+       FROM a JOIN be ON be.vec_id = a.vec_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Composite training-data CURATION pipeline — the end-to-end flow a
+    * 100 TB curation job runs: exact dedup (hash-agg + semi-join) ->
+    * quality filter (narrow codegen'd features) -> language ID (narrow
+    * marker voting) -> corpus stats. Every stage is an already-oracled
+    * operator (d01/d03/d04); this verifies their COMPOSITION.
+    */
+  def d11(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val deduped = Dedup.dropExactDups(docs, "doc_id", "text")
+    val quality = TextAnalysis.qualityFeatures(deduped)
+      .filter(col("quality_ok"))
+    TextAnalysis.langIdColumns(quality)
+      .groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"), col("lang_pred"))
+  }
+
+  val d11Sql: String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val markers = TextAnalysis.langMarkers(l)
+        .map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, x -> x IN ($markers))) AS s_$l"
+    }.mkString(",\n           ")
+    val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+       d AS (SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+             FROM documents JOIN k USING (doc_id)),
+       q AS (SELECT *, len(w) AS n_tokens,
+             len(list_filter(w, x -> x IN ('the','a','of','and'))) AS sw
+             FROM d),
+       f AS (SELECT * FROM q
+             WHERE n_tokens >= 5 AND n_tokens <= 100000 AND sw > 0),
+       s AS (SELECT doc_id, source, n_tokens,
+           $scoreCols FROM f),
+       p AS (SELECT source, n_tokens, $greatest AS g,
+             ${langs.map("s_" + _).mkString(", ")} FROM s)
+       SELECT source, CASE WHEN g <= 0 THEN 'und' $caseChain END AS lang_pred,
+              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   // ---------------------------------------------------------------- //
   // Flagship pipeline queries: a deterministic Turn-shaped transcript //
   // is CONSTRUCTED from the events table (both engines build the      //
@@ -1221,11 +1305,13 @@ object Queries {
     "d08_minhash_lsh_pairs" -> (d08 _),
     "d09_simhash" -> (d09 _),
     "d10_rolling_fingerprint" -> (d10 _),
+    "d11_curation_pipeline" -> (d11 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
     "e04_ivf_assignment" -> (e04 _),
     "e05_ivf_topk" -> (e05 _),
+    "e06_kmeans_iteration" -> (e06 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -1267,11 +1353,13 @@ object Queries {
     "d08_minhash_lsh_pairs" -> d08Sql,
     "d09_simhash" -> d09Sql,
     "d10_rolling_fingerprint" -> d10Sql,
+    "d11_curation_pipeline" -> d11Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql,
     "e04_ivf_assignment" -> e04Sql,
     "e05_ivf_topk" -> e05Sql,
+    "e06_kmeans_iteration" -> e06Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "p01_pipeline_fanout" -> p01Sql,

@@ -124,6 +124,31 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L)), s"expected only the planted pair, got ${pairs.toSeq}")
   }
 
+  test("kmeansIteration (driver-collect) == the DataFrame-native per-(cluster,dim) means") {
+    import graft.ops.Similarity
+    val dims = 8
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 100L).map(i =>
+      (i, Array.fill(dims)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    val driverSide = Similarity.kmeansIteration(assigned, "embedding", dims)
+      .flatMap { case (cid, arr) =>
+        arr.zipWithIndex.map { case (m, d) => (cid, d) -> m }
+      }.toMap
+    val dfSide = assigned
+      .select(col("ivf_cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("ivf_cluster"), col("d"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(driverSide.keySet == dfSide.keySet)
+    driverSide.foreach { case (k, v) =>
+      assert(math.abs(v - dfSide(k)) < 1e-9, s"mean mismatch at $k")
+    }
+  }
+
   test("simhash: near-identical docs collide, disjoint docs do not") {
     val a = (0 until 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, a), (2L, a + " extraA"), (3L, "wholly different words here"))

@@ -480,6 +480,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.isEmpty)
   }
 
+  test("error resilience: a missing/empty input table yields 0 events, no " +
+      "crash (AccessDenied/NoSuchKey analog, spec:341-395)") {
+    val cfg = PipelineConfig(s"$scratch/does_not_exist", s"$scratch/er_sinks")
+    val r = Main.runCycle(spark, cfg, farFuture)
+    assert(r.rowsProcessed == 0L && r.publishedSinks.isEmpty)
+    // an existing-but-empty dir behaves the same
+    new java.io.File(s"$scratch/empty_in").mkdirs()
+    val r2 = Main.runCycle(spark,
+      PipelineConfig(s"$scratch/empty_in", s"$scratch/er_sinks"), farFuture)
+    assert(r2.rowsProcessed == 0L)
+  }
+
+  test("temp hygiene: staging dir removed after publish (spec:335-338 analog)") {
+    val inputPath = s"$scratch/hyg_in"
+    val sinkRoot = s"$scratch/hyg_sinks"
+    Synth.writeTable(spark, inputPath, seed, 5L)
+    val r = Main.runCycle(spark, PipelineConfig(inputPath, sinkRoot), farFuture)
+    assert(r.rowsProcessed > 0)
+    val staging = new java.io.File(s"$sinkRoot/_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      "no staged leftovers after a successful publish")
+  }
+
   test("archive-prefix rows are never re-discovered (self-backup guard, s3.rb:365)") {
     val inputPath = s"$scratch/arch_in"
     Synth.writeTable(spark, inputPath, seed, 5L)
