@@ -124,7 +124,7 @@ object Queries {
         when(col("event_type") === "signup", col("event_id")))
     graft.pipeline.PrefixOps.propagateLastNonNull(
         ev, col("marker"), "hdr",
-        chunkSize = 64, convCol = "user_id", idxCol = "event_id")
+        chunkSize = 1024, convCol = "user_id", idxCol = "event_id")
       .select(col("user_id"), col("event_id"), col("hdr"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -144,7 +144,7 @@ object Queries {
     val ev = t(spark, dir, "events")
     graft.pipeline.PrefixOps.prefixSum(ev,
         when(col("event_type") === "signup", lit(1)).otherwise(lit(0)),
-        "session_id", chunkSize = 64, convCol = "user_id",
+        "session_id", chunkSize = 1024, convCol = "user_id",
         idxCol = "event_id")
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -385,7 +385,7 @@ object Queries {
     val ev = t(spark, dir, "events").filter(col("user_id") < 40)
     val sess = graft.pipeline.PrefixOps.prefixSum(ev,
       when(col("event_type") === "signup", lit(1)).otherwise(lit(0)),
-      "session_id", chunkSize = 64, convCol = "user_id", idxCol = "event_id")
+      "session_id", chunkSize = 1024, convCol = "user_id", idxCol = "event_id")
     sess.groupBy(col("user_id"), col("session_id"))
       .agg(
         concat_ws("\n",
@@ -497,7 +497,7 @@ object Queries {
     graft.pipeline.Parse.sessionizeConfigured(ev,
         graft.pipeline.Parse.MultilineConfig("\"k\": [1-4]",
           negate = false, what = "next"),
-        chunkSize = 64, convCol = "user_id", idxCol = "event_id",
+        chunkSize = 1024, convCol = "user_id", idxCol = "event_id",
         textCol = "props")
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -40,7 +40,8 @@ object Main {
     import spark.implicits._
     val routed = Pipeline(delta.as[Turn](
       org.apache.spark.sql.Encoders.product[Turn]),
-      cfg.excludePattern, cfg.chunkSize).cache()
+      cfg.excludePattern, cfg.chunkSize,
+      codec = Pipeline.codecFor(cfg)).cache()
 
     // new per-day watermarks from the routed delta (one pass; also the
     // emptiness check)
@@ -98,7 +99,13 @@ object Main {
       inputPath = opts("input"),
       sinkRoot = opts("sink-root"),
       excludePattern = opts.getOrElse("exclude", ""),
-      cutoffSeconds = opts.getOrElse("cutoff", "3").toInt)
+      cutoffSeconds = opts.getOrElse("cutoff", "3").toInt,
+      codec = opts.getOrElse("codec", "grok"),
+      jsonFields = opts.get("json-fields")
+        .map(_.split(",").toSeq).getOrElse(Seq("message", "level")),
+      multilinePattern = opts.getOrElse("multiline-pattern", "^\\s+"),
+      multilineNegate = opts.get("multiline-negate").exists(_.toBoolean),
+      multilineWhat = opts.getOrElse("multiline-what", "previous"))
     val res = runCycle(spark, cfg, asOf)
     println(s"""{"batch_id":"${res.batchId}","rows":${res.rowsProcessed},""" +
       s""""sinks":[${res.publishedSinks.map("\"" + _ + "\"").mkString(",")}]}""")

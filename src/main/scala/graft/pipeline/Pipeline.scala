@@ -18,10 +18,56 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Pluggable codec — the reference's `codec` config is first-class
+    * (plain/json/multiline plugins, s3.rb:35, 224-245; spec:397-491).
+    *
+    *  - [[GrokCodec]] (default): the grok dictionary parse with
+    *    whitespace-continuation sessionization;
+    *  - [[JsonCodec]]: whole-event JSON decode (Parse.parseJsonColumns) —
+    *    invalid JSON routes to `deadletter`, every event is its own
+    *    record;
+    *  - [[MultilineCodec]]: grok parse with CONFIG-DRIVEN record
+    *    grouping (pattern/negate/what); lines that continue a record
+    *    under the config are never dead-lettered.
+    */
+  sealed trait Codec
+  case object GrokCodec extends Codec
+  case class JsonCodec(fields: org.apache.spark.sql.types.StructType)
+    extends Codec
+  case class MultilineCodec(cfg: Parse.MultilineConfig) extends Codec
+
   def apply(ds: Dataset[Turn], excludePattern: String = "",
       chunkSize: Int = 4096,
-      includeObjectProperties: Boolean = false): DataFrame = {
-    val parsed = Parse.parseColumns(ds.toDF())
+      includeObjectProperties: Boolean = false,
+      codec: Codec = GrokCodec): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    // 1. codec decode: produce the routing-contract columns
+    //    (parse_ok, is_header, is_continuation, header_version/fields)
+    val parsed = codec match {
+      case GrokCodec => Parse.parseColumns(ds.toDF())
+      case MultilineCodec(mc) =>
+        val base = Parse.parseColumns(ds.toDF())
+        val matches = col("text").rlike(mc.pattern)
+        val belongs = if (mc.negate) !matches else matches
+        // "continuation" under the CONFIG, overriding the whitespace
+        // default: previous -> this line belongs; next -> the PREVIOUS
+        // line belonged (chunked lag)
+        mc.what match {
+          case "previous" => base.withColumn("is_continuation", belongs)
+          case "next" =>
+            PrefixOps.lagOne(base, belongs, "_prev_belongs", chunkSize)
+              .withColumn("is_continuation",
+                coalesce(col("_prev_belongs"), lit(false)))
+              .drop("_prev_belongs")
+        }
+      case JsonCodec(fields) =>
+        Parse.parseJsonColumns(ds.toDF(), fields)
+          .withColumn("parse_ok", col("json_ok"))
+          .withColumn("is_header", lit(false))
+          .withColumn("is_continuation", lit(false))
+          .withColumn("header_version", lit(null).cast(StringType))
+          .withColumn("header_fields", lit(null).cast(StringType))
+    }
     val routed = Route(parsed, excludePattern)
     val enriched = Enrich(routed)
     // BOTH header families propagate (the reference carries
@@ -33,6 +79,16 @@ object Pipeline {
       when(col("is_continuation"), lit(0)).otherwise(lit(1)), "session_id",
       chunkSize)
     withMeta(scanned, includeObjectProperties)
+  }
+
+  /** Resolve a [[Codec]] from config strings (the CLI/config surface). */
+  def codecFor(cfg: PipelineConfig): Codec = cfg.codec match {
+    case "json" =>
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      JsonCodec(StructType(cfg.jsonFields.map(StructField(_, StringType))))
+    case "multiline" => MultilineCodec(Parse.MultilineConfig(
+      cfg.multilinePattern, cfg.multilineNegate, cfg.multilineWhat))
+    case _ => GrokCodec
   }
 
   /** P7 metadata projection (reference: lib/logstash/inputs/s3.rb:250-264,

@@ -67,7 +67,14 @@ case class PipelineConfig(
     archivePrefix: String = "archived/",
     cutoffSeconds: Int = 3,
     saltBuckets: Int = 16,
-    chunkSize: Int = 4096)
+    chunkSize: Int = 4096,
+    // codec config — the reference's pluggable `codec` (s3.rb:35):
+    // grok (plain analog) | json | multiline
+    codec: String = "grok",
+    jsonFields: Seq[String] = Seq("message", "level"),
+    multilinePattern: String = "^\\s+",
+    multilineNegate: Boolean = false,
+    multilineWhat: String = "previous")
 
 object Schema {
   import org.apache.spark.sql.types._

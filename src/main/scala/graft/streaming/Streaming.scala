@@ -105,9 +105,22 @@ object Streaming {
       }
     }
 
-    def write(state: DataFrame, sinkRoot: String, batchId: Long): Unit =
+    def write(state: DataFrame, sinkRoot: String, batchId: Long): Unit = {
       state.write.mode("overwrite")
         .parquet(s"${dir(sinkRoot)}/batch=$batchId")
+      // retention: keep this snapshot + the previous two (enough for any
+      // retry of batchId or batchId+1 to find its strictly-earlier
+      // snapshot); older ones are superseded — full snapshots, not
+      // deltas — so the state dir stays O(|convs|), not O(batches).
+      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+      val fs = d.getFileSystem(
+        state.sparkSession.sparkContext.hadoopConfiguration)
+      fs.listStatus(d).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId - 2)
+        .foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Production shape: micro-batch = one reference polling cycle.

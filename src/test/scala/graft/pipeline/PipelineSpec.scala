@@ -308,6 +308,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"text").exceptAll(fixture.toDF().select($"text")).isEmpty)
   }
 
+  test("pipeline codec=json: valid events route by role, corrupt to deadletter, " +
+      "fields promoted (the reference's codec config, s3.rb:35)") {
+    import org.apache.spark.sql.types._
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val fixture = Seq(
+      Turn("j1", 0, "user", """{"message": "hi", "level": "INFO"}""", null, ts0),
+      Turn("j1", 1, "assistant", """{"message": ["a", 1], "level": "WARN"}""", null, ts0),
+      Turn("j1", 2, "tool", """{"broken""", "search", ts0),
+      Turn("j1", 3, "user", """{"message": "bye"}""", null, ts0)
+    ).toDS()
+    val out = Pipeline(fixture,
+      codec = Pipeline.JsonCodec(StructType(Seq(
+        StructField("message", StringType), StructField("level", StringType)))))
+    val sinks = out.orderBy($"turn_idx").select($"sink").collect()
+      .map(_.getString(0)).toSeq
+    assert(sinks == Seq("user", "assistant", "deadletter", "user"))
+    val msgs = out.orderBy($"turn_idx").select($"json_message").collect()
+      .map(_.getString(0)).toSeq
+    assert(msgs == Seq("hi", """["a",1]""", null, "bye"))
+    // every event its own record; json rows never open header state
+    assert(out.filter($"header".isNotNull).count() == 0)
+    assert(out.orderBy($"turn_idx").select($"session_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("pipeline codec=multiline: config-driven continuation pattern replaces " +
+      "the whitespace default, continuations never dead-letter") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // stack-trace style: record heads grok-parse, continuations match
+    // a custom 'at ...' pattern (NOT leading whitespace)
+    val fixture = Seq(
+      Turn("m1", 0, "tool", "2025-01-01T00:00:00Z ERROR [tool] boom", "python", ts0),
+      Turn("m1", 1, "tool", "at frame one", "python", ts0),
+      Turn("m1", 2, "tool", "at frame two", "python", ts0),
+      Turn("m1", 3, "tool", "2025-01-01T00:00:03Z INFO [tool] recovered", "python", ts0)
+    ).toDS()
+    val out = Pipeline(fixture,
+      codec = Pipeline.MultilineCodec(Parse.MultilineConfig("^at ")))
+      .orderBy($"turn_idx")
+      .select($"sink", $"session_id").collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("tool", "tool", "tool", "tool"),
+      "'at ...' continuations must not dead-letter")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 2L),
+      "custom pattern groups the trace into the head's record")
+    // same fixture under the DEFAULT codec: 'at ...' lines are garbage
+    val dflt = Pipeline(fixture).orderBy($"turn_idx")
+      .select($"sink").collect().map(_.getString(0)).toSeq
+    assert(dflt == Seq("tool", "deadletter", "deadletter", "tool"))
+  }
+
   test("header golden case: headers consumed, version stamped on subsequent turns") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     // cloudfront.log analog: #Version + #Fields headers then 2 data rows
