@@ -576,6 +576,30 @@ object Queries {
          count(tag) AS n_tagged
        FROM p GROUP BY event_type ORDER BY event_type"""
 
+  /** §2.4 depth: exact interpolated percentiles per group (Spark
+    * `percentile` == DuckDB `quantile_cont`, both (n-1)p linear
+    * interpolation). At 100 TB the same query swaps in
+    * `percentile_approx` (single-pass t-digest-style sketch, no sort) —
+    * the exact form here is the oracle-checkable correctness anchor.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q25Sql: String =
+    """SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** TPC-H Q1-ish flagship aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -1295,6 +1319,7 @@ object Queries {
     "q22_glacier_restore_header" -> (q22 _),
     "q23_multiline_configured" -> (q23 _),
     "q24_json_codec_mode" -> (q24 _),
+    "q25_percentiles" -> (q25 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -1343,6 +1368,7 @@ object Queries {
     "q22_glacier_restore_header" -> q22Sql,
     "q23_multiline_configured" -> q23Sql,
     "q24_json_codec_mode" -> q24Sql,
+    "q25_percentiles" -> q25Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,

@@ -93,6 +93,37 @@ object PipelineProps extends Properties("pipeline") {
       }
     }
 
+  property("sessionizeConfigured == naive window for any pattern/negate/what/chunk") =
+    forAll(
+      Gen.listOfN(30, Gen.oneOf("SEP", "data line", "  pad", "SEP tail")),
+      Gen.oneOf(true, false),
+      Gen.oneOf("previous", "next"),
+      genChunk) { (texts, negate, what, chunk) =>
+      texts.isEmpty || {
+        val ts0 = new Timestamp(Synth.baseEpochMs)
+        val df = texts.zipWithIndex.map { case (t, i) =>
+          Turn(s"c${i % 2}", i, "user", t, null, ts0)
+        }.toDS().toDF()
+        val cfg = Parse.MultilineConfig("^SEP", negate, what)
+        val got = Parse.sessionizeConfigured(df, cfg, chunkSize = chunk)
+          .select($"conv_id", $"turn_idx", $"session_id")
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val matches = $"text".rlike("^SEP")
+        val belongs = if (negate) !matches else matches
+        val start = what match {
+          case "previous" => when(belongs, 0L).otherwise(1L)
+          case "next" =>
+            when(coalesce(lag(belongs, 1).over(w), lit(false)), 0L)
+              .otherwise(1L)
+        }
+        val naive = df.withColumn("_start", start)
+          .withColumn("session_id", sum($"_start").over(wRun))
+          .select($"conv_id", $"turn_idx", $"session_id")
+        got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty
+      }
+    }
+
   property("literal watermark predicate == reference semantics") =
     forAll(
       Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 100L))),

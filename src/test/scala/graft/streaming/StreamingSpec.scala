@@ -87,6 +87,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming watermark drops too-late rows (the cutoff's accepted " +
+      "data-loss trade-off, s3.rb:91, spec:559-584)") {
+    implicit val sqlCtx = spark.sqlContext
+    def turn(convId: String, idx: Int, iso: String): Turn =
+      Turn(convId, idx, "user", s"${iso} INFO [user] x", null,
+        Timestamp.from(java.time.Instant.parse(iso)))
+    val mem = MemoryStream[Turn]
+    val q = Streaming.streamingAggregates(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // two rows in hour 10
+    mem.addData(
+      turn("w1", 0, "2025-01-01T10:00:00Z"),
+      turn("w1", 1, "2025-01-01T10:00:30Z"))
+    q.processAllAvailable()
+    // a much-later row advances the watermark past hour 10 + 3s delay
+    mem.addData(turn("w1", 2, "2025-01-01T12:00:00Z"))
+    q.processAllAvailable()
+    // LATE arrival into the already-finalized hour-10 window: DROPPED —
+    // the reference loses files older than the advanced sincedb the
+    // same way; the cutoff only narrows the window, never closes it
+    mem.addData(turn("w1", 3, "2025-01-01T10:00:40Z"))
+    q.processAllAvailable()
+    // flush the hour-12 window too
+    mem.addData(turn("w1", 4, "2025-01-01T14:00:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val hour10 = spark.table("late_out")
+      .filter($"hour_start" === Timestamp.from(
+        java.time.Instant.parse("2025-01-01T10:00:00Z")))
+      .agg(sum($"n_turns")).head().getLong(0)
+    assert(hour10 == 2L, "the late row must NOT be counted")
+  }
+
   test("ProcessingTime trigger (the 60s polling-interval mode) picks up files appearing between cycles") {
     val input = s"$scratch/pt_input"
     val sinkRoot = s"$scratch/pt_sinks"
