@@ -145,6 +145,19 @@ object Dedup {
     * signatures once, and the per-bucket cap bounds the collected array
     * at `maxBucket` ids.
     */
+  /** Buckets DROPPED by the `maxBucket` skew cap — the "no silent caps"
+    * companion to [[lshCandidatePairs]]: a curation job reports these
+    * (band, sig, n) rows so a pathological bucket (e.g. a boilerplate
+    * shingle shared by 10^6 docs) is visible, not silently skipped.
+    * Members of an oversized bucket are usually exact/near-exact dups of
+    * a template — route them to [[exactDupGroups]] instead.
+    */
+  def lshOversizedBuckets(bands: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame =
+    bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("example_id"))
+      .filter(col("n") > maxBucket)
+
   def lshCandidatePairs(bands: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("sig"))
@@ -190,6 +203,19 @@ object Dedup {
     jaccardForPairs(df, pairs, idCol, textCol, shingleN)
       .filter(col("inter") >= col("union_") * jaccardThreshold)
   }
+
+  /** Incremental cross-cycle dedup: drop rows whose normalized
+    * fingerprint already appears in `seenFps` (a single-column `fp`
+    * DataFrame — e.g. fingerprints of previously-published batches).
+    * One left_anti hash join on the 16-byte key; at scale the seen-set
+    * is a bucketed table on `fp` so the join co-partitions. This is the
+    * lineage-integrated dedup a multi-cycle ingest needs: cycle N must
+    * not re-emit documents cycle N-1 already published.
+    */
+  def dropSeen(df: DataFrame, seenFps: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seenFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
 
   /** 16-bit SimHash from the md5 hex digits of each token: bit i of the
     * fingerprint is the majority vote of (hex digit i of md5(token)) & 1

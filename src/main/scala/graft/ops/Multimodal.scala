@@ -112,13 +112,20 @@ object Multimodal {
   /** Decode + feature-extract: batched per partition with one codec
     * instance per task (the mapInPandas batch-shape analog in Scala).
     * Output drops the payload — downstream never shuffles blobs.
+    *
+    * Partitioning: when the caller knows the row count, `numTasks`
+    * bounds the payload bytes per task (rows/targetRowsPerTask tasks,
+    * floor = cluster parallelism); at scan time
+    * `spark.sql.files.maxPartitionBytes` already splits fat binary
+    * files, so the default (cluster parallelism) is right for
+    * freshly-scanned media tables.
     */
   def decodeFeatures(media: Dataset[MediaRow], dims: Int = 16,
-      targetRowsPerTask: Int = 4096): Dataset[MediaFeatures] = {
+      numTasks: Option[Int] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media
-      .repartition(math.max(1,
-        (media.sparkSession.sparkContext.defaultParallelism)))
+      .repartition(math.max(1, numTasks.getOrElse(
+        media.sparkSession.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         // codec init happens once per task, not per row
         it.map { m =>

@@ -149,6 +149,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH skew cap is REPORTED, not silent: oversized buckets surface " +
+      "and their members emit no pairs") {
+    // 8 identical docs (one degenerate bucket of 8) + 2 distinct docs
+    val docs = ((0L until 8L).map(i => (i, "same boilerplate text here ok")) ++
+      Seq((8L, "a unique document alpha beta"),
+        (9L, "another unique doc gamma delta"))).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8), "doc_id", 8, 2)
+    val dropped = Dedup.lshOversizedBuckets(bands, "doc_id", maxBucket = 4)
+      .collect()
+    assert(dropped.nonEmpty, "the hot bucket must be reported")
+    assert(dropped.forall(_.getAs[Long]("n") == 8L))
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = 4)
+    assert(pairs.filter($"id_a" < 8 && $"id_b" < 8).count() == 0,
+      "capped-bucket members emit no pairs")
+    // with a big enough cap the same bucket DOES pair
+    assert(Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = 100)
+      .count() >= 28, "8 identical docs -> C(8,2) pairs")
+  }
+
+  test("dropSeen: cross-cycle incremental dedup via left_anti on fingerprints") {
+    val cycle1 = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
+    val seen = cycle1.select(
+      graft.ops.TextAnalysis.fingerprint($"text").as("fp"))
+    val cycle2 = Seq(
+      (3L, "doc two"), // exact dup of a published doc
+      (4L, "  DOC ONE "), // normalized dup
+      (5L, "doc three") // fresh
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropSeen(cycle2, seen, "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L))
+    assert(Dedup.dropSeen(cycle2, seen, "text").columns.toSeq ==
+      cycle2.columns.toSeq, "schema passes through unchanged")
+  }
+
   test("simhash: near-identical docs collide, disjoint docs do not") {
     val a = (0 until 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, a), (2L, a + " extraA"), (3L, "wholly different words here"))
