@@ -190,6 +190,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorted.collect().forall(identity))
   }
 
+  test("scanMany (2 carried columns) == two sequential propagates + prefixSum") {
+    val parsed = Parse.parseColumns(Synth.turns(spark, seed, 40L).toDF())
+    val fused = PrefixOps.scanMany(parsed,
+        Seq(col("header_version") -> "hv", col("header_fields") -> "hf"),
+        when(col("is_continuation"), lit(0)).otherwise(lit(1)), "sid",
+        chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"hv", $"hf", $"sid")
+    val sequential = Parse.sessionize(
+        PrefixOps.propagateLastNonNull(
+          PrefixOps.propagateLastNonNull(parsed, col("header_version"), "hv", 4),
+          col("header_fields"), "hf", 4), chunkSize = 4)
+      .select($"conv_id", $"turn_idx", $"hv", $"hf",
+        $"session_id".as("sid"))
+    assert(fused.exceptAll(sequential).isEmpty &&
+      sequential.exceptAll(fused).isEmpty)
+  }
+
   test("fused scanBoth == sequential propagate + sessionize") {
     val parsed = Parse.parseColumns(Synth.turns(spark, seed, 50L).toDF())
     val fused = PrefixOps.scanBoth(parsed,
