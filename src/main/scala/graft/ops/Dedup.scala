@@ -78,9 +78,13 @@ object Dedup {
     * String-min of fixed-width hex == numeric min; md5 keeps the oracle
     * expressible in SQL.
     */
-  def minhashCol(shingleArr: Column, i: Int): Column =
+  def minhashCol(shingleArr: Column, i: Int): Column = {
+    require(i >= 0 && i < 8,
+      s"minhashCol slice index must be 0..7 (one md5 = 8 slices); " +
+        s"got $i — use minhashSignatures for more hash functions")
     array_min(transform(shingleArr,
       s => substring(md5(s), 1 + 4 * i, 4)))
+  }
 
   /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc,
     * as ONE grouped aggregate over exploded (id, shingle) rows — the

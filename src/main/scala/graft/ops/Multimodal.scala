@@ -113,12 +113,12 @@ object Multimodal {
     * instance per task (the mapInPandas batch-shape analog in Scala).
     * Output drops the payload — downstream never shuffles blobs.
     *
-    * Partitioning: when the caller knows the row count, `numTasks`
-    * bounds the payload bytes per task (rows/targetRowsPerTask tasks,
-    * floor = cluster parallelism); at scan time
+    * Partitioning: `numTasks` (when given) sets the repartition width —
+    * the caller sizes it so each task holds a bounded number of payload
+    * BYTES (e.g. totalBytes / 256MB). The default, cluster parallelism,
+    * is right for freshly-scanned media tables because
     * `spark.sql.files.maxPartitionBytes` already splits fat binary
-    * files, so the default (cluster parallelism) is right for
-    * freshly-scanned media tables.
+    * files at scan time.
     */
   def decodeFeatures(media: Dataset[MediaRow], dims: Int = 16,
       numTasks: Option[Int] = None): Dataset[MediaFeatures] = {

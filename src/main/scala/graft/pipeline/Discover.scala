@@ -81,13 +81,19 @@ object Discover {
     val root = new org.apache.hadoop.fs.Path(inputPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val rootUri = root.toUri.getPath
     val it = fs.listFiles(root, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") &&
-        !name.startsWith("."))
+      // hide-at-EVERY-level, like Spark's own InMemoryFileIndex: a file
+      // under _temporary/ or .staging/ (an in-flight committer write)
+      // must not enter the pinned snapshot — reading half-written
+      // parquet is exactly the race the pin exists to close
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
+      val segments = rel.split('/').filter(_.nonEmpty)
+      val hidden = segments.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (f.getPath.getName.endsWith(".parquet") && !hidden)
         out += f.getPath.toString
     }
     out.result().sorted

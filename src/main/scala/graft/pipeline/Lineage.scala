@@ -101,18 +101,21 @@ object Lineage {
     if (fs.exists(staging)) fs.delete(staging, true)
     spark.read.parquet(oldFiles.map(_.toString): _*)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val part = fs.listStatus(staging)
-      .find(_.getPath.getName.endsWith(".parquet"))
-      .getOrElse(return false).getPath
-    val dest = new Path(p, s"compacted-${System.nanoTime()}.parquet")
-    if (!fs.rename(part, dest)) {
-      // move-in failed: abort, old history untouched
-      fs.delete(staging, true)
-      return false
+    val partOpt = fs.listStatus(staging)
+      .find(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val moved = partOpt.exists { part =>
+      fs.rename(part, new Path(p, s"compacted-${System.nanoTime()}.parquet"))
     }
-    oldFiles.foreach(f => fs.delete(f, false))
-    fs.delete(staging, true)
-    true
+    if (!moved) {
+      // no part produced, or move-in failed: abort with the old history
+      // fully intact; never leave the staging dir behind
+      fs.delete(staging, true)
+      false
+    } else {
+      oldFiles.foreach(f => fs.delete(f, false))
+      fs.delete(staging, true)
+      true
+    }
   }
 
   /** Deterministic batch identity: a pure function of the checkpoint

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Grok-style parse stage — the codec-decode analog (P1-P5).
@@ -170,37 +170,47 @@ object Parse {
       s"what must be previous|next, got $what")
   }
 
+  /** The SINGLE interpretation of `pattern`/`negate`/`what`: returns the
+    * input (plus a lag column for what=next) and the "this row CONTINUES
+    * the current record" predicate under `cfg`. Both the standalone
+    * sessionizer and the pipeline's MultilineCodec build on this — the
+    * semantics live in exactly one place.
+    *
+    *  - what=previous: a row continues iff it belongs (matches XOR
+    *    negate) — a pure column predicate;
+    *  - what=next: a row continues iff the PREVIOUS row belonged (first
+    *    row of a conversation always starts) — one chunked lag.
+    */
+  def continuationUnder(df: DataFrame, cfg: MultilineConfig,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx", textCol: String = "text")
+      : (DataFrame, Column) = {
+    val matches = col(textCol).rlike(cfg.pattern)
+    val belongs = if (cfg.negate) !matches else matches
+    cfg.what match {
+      case "previous" => (df, belongs)
+      case "next" =>
+        (PrefixOps.lagOne(df, belongs, "_prev_belongs",
+          chunkSize, convCol, idxCol),
+          coalesce(col("_prev_belongs"), lit(false)))
+    }
+  }
+
   /** Config-driven multiline grouping (the `LogStash::Codecs::Multiline`
     * analog): adds `session_id` = the record id under `cfg`, via the
     * scale-safe chunked prefix primitives. The reference fixture
     * (`__SEPARATOR__`, negate=true, what=previous -> 2 records from
-    * multiline.log) is the golden test.
-    *
-    *  - what=previous: row starts a record iff it does NOT belong —
-    *    a pure column indicator into one prefix sum;
-    *  - what=next: row starts a record iff the PREVIOUS row did not
-    *    belong (first row always starts) — one chunked lag, then the
-    *    same prefix sum. Same shuffle count as `previous` plus the
-    *    (conv, chunk)-local lag join.
+    * multiline.log) is the golden test. Record id = running count of
+    * non-continuation rows ([[continuationUnder]]).
     */
   def sessionizeConfigured(df: DataFrame, cfg: MultilineConfig,
       chunkSize: Int = 4096, convCol: String = "conv_id",
       idxCol: String = "turn_idx", textCol: String = "text"): DataFrame = {
-    val matches = col(textCol).rlike(cfg.pattern)
-    val belongs = if (cfg.negate) !matches else matches
-    cfg.what match {
-      case "previous" =>
-        PrefixOps.prefixSum(df, when(belongs, lit(0)).otherwise(lit(1)),
-          "session_id", chunkSize, convCol, idxCol)
-      case "next" =>
-        val lagged = PrefixOps.lagOne(df, belongs, "_prev_belongs",
-          chunkSize, convCol, idxCol)
-        PrefixOps.prefixSum(lagged,
-          when(coalesce(col("_prev_belongs"), lit(false)), lit(0))
-            .otherwise(lit(1)),
-          "session_id", chunkSize, convCol, idxCol)
-          .drop("_prev_belongs")
-    }
+    val (pre, isCont) = continuationUnder(df, cfg, chunkSize, convCol,
+      idxCol, textCol)
+    PrefixOps.prefixSum(pre, when(isCont, lit(0)).otherwise(lit(1)),
+        "session_id", chunkSize, convCol, idxCol)
+      .drop("_prev_belongs")
   }
 
   /** P2: JSON codec mode (spec:397-441; fixtures json.log,

@@ -46,20 +46,11 @@ object Pipeline {
     val parsed = codec match {
       case GrokCodec => Parse.parseColumns(ds.toDF())
       case MultilineCodec(mc) =>
-        val base = Parse.parseColumns(ds.toDF())
-        val matches = col("text").rlike(mc.pattern)
-        val belongs = if (mc.negate) !matches else matches
         // "continuation" under the CONFIG, overriding the whitespace
-        // default: previous -> this line belongs; next -> the PREVIOUS
-        // line belonged (chunked lag)
-        mc.what match {
-          case "previous" => base.withColumn("is_continuation", belongs)
-          case "next" =>
-            PrefixOps.lagOne(base, belongs, "_prev_belongs", chunkSize)
-              .withColumn("is_continuation",
-                coalesce(col("_prev_belongs"), lit(false)))
-              .drop("_prev_belongs")
-        }
+        // default — one shared interpretation (Parse.continuationUnder)
+        val (pre, isCont) = Parse.continuationUnder(
+          Parse.parseColumns(ds.toDF()), mc, chunkSize)
+        pre.withColumn("is_continuation", isCont).drop("_prev_belongs")
       case JsonCodec(fields) =>
         Parse.parseJsonColumns(ds.toDF(), fields)
           .withColumn("parse_ok", col("json_ok"))
@@ -81,14 +72,21 @@ object Pipeline {
     withMeta(scanned, includeObjectProperties)
   }
 
-  /** Resolve a [[Codec]] from config strings (the CLI/config surface). */
+  /** Resolve a [[Codec]] from config strings (the CLI/config surface).
+    * Unknown names fail fast — a typo'd `--codec` must abort the cycle,
+    * not silently run the default and dead-letter (then watermark past)
+    * every row.
+    */
   def codecFor(cfg: PipelineConfig): Codec = cfg.codec match {
     case "json" =>
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       JsonCodec(StructType(cfg.jsonFields.map(StructField(_, StringType))))
     case "multiline" => MultilineCodec(Parse.MultilineConfig(
       cfg.multilinePattern, cfg.multilineNegate, cfg.multilineWhat))
-    case _ => GrokCodec
+    case "grok" => GrokCodec
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown codec '$other' (expected grok|json|multiline)")
   }
 
   /** P7 metadata projection (reference: lib/logstash/inputs/s3.rb:250-264,

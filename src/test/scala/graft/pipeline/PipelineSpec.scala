@@ -540,6 +540,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the NEXT cycle's pin sees old + new exactly once
     val delta2 = Discover.delta(spark, cfg, farFuture, Map.empty)
     assert(delta2.count() == n1 + nExtra)
+
+    // in-flight committer files (_temporary at ANY depth) are invisible:
+    // a parquet part under _temporary is exactly the half-written state a
+    // concurrent writer exposes mid-commit
+    val tmpDir = new java.io.File(
+      s"$inputPath/_temporary/0/task_x/day=2025-01-01")
+    tmpDir.mkdirs()
+    val anyPart = new java.io.File(inputPath).listFiles()
+      .filter(_.getName.startsWith("day=")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(anyPart.toPath,
+      new java.io.File(tmpDir, "part-inflight.parquet").toPath)
+    val delta3 = Discover.delta(spark, cfg, farFuture, Map.empty)
+    assert(delta3.count() == n1 + nExtra,
+      "files under _temporary must not enter the pinned snapshot")
   }
 
   test("empty/missing lineage reads as epoch watermark (sincedb_spec analog)") {
