@@ -1039,6 +1039,44 @@ object Queries {
        JOIN qd ON qd.vec_id = a.vec_id JOIN bn ON bn.vec_id = a.vec_id, qn
        ORDER BY qd.d / (bn.n * qn.n) DESC, a.vec_id LIMIT 10"""
 
+  /** SimHash near-dup PAIRS within Hamming radius 3, via the native
+    * 48-bit [[graft.functions.SimHashBits]] expression and band
+    * bucketing ([[Dedup.simhashNearDupPairs]] — no all-pairs join). The
+    * oracle recomputes the hash bit-for-bit from md5 hex digits, replays
+    * the 4x12-bit banding, and verifies by bit_count(xor).
+    */
+  def d12(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(
+        t(spark, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", nBits = 48, nBands = 4, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d12Sql: String = {
+    val nBits = 48
+    val votes = (0 until nBits).map { j =>
+      s"""SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tk), ${j / 4 + 1}, 1)) - 1 >> ${j % 4}) & 1) = 1
+          THEN 1 ELSE -1 END) AS v$j"""
+    }.mkString(",\n           ")
+    val bits = (0 until nBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       tok AS (SELECT DISTINCT doc_id, tk FROM d,
+               UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) u(tk)),
+       votes AS (SELECT doc_id,
+           $votes
+           FROM tok GROUP BY doc_id),
+       sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM votes),
+       bands AS (SELECT doc_id, sh, b, (sh >> (b * 12)) & 4095 AS sig
+                 FROM sh, UNNEST([0, 1, 2, 3]) t(b)),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                 FROM bands a JOIN bands b
+                  ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+       ORDER BY id_a, id_b"""
+  }
+
   /** One Lloyd/k-means refinement iteration, DataFrame-native (the
     * distributed shape behind [[Similarity.kmeansIteration]]): per
     * (cluster, dim) mean of the assigned vectors — a single hash
@@ -1331,6 +1369,7 @@ object Queries {
     "d09_simhash" -> (d09 _),
     "d10_rolling_fingerprint" -> (d10 _),
     "d11_curation_pipeline" -> (d11 _),
+    "d12_simhash_neardup_pairs" -> (d12 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
@@ -1380,6 +1419,7 @@ object Queries {
     "d09_simhash" -> d09Sql,
     "d10_rolling_fingerprint" -> d10Sql,
     "d11_curation_pipeline" -> d11Sql,
+    "d12_simhash_neardup_pairs" -> d12Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql,

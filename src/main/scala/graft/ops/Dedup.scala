@@ -246,13 +246,54 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates: group by simhash value (distance-0
-    * buckets); for small Hamming radii, band the 16 bits into 4 nibbles
-    * and bucket-join on (nibble index, remaining bits) — same
-    * no-all-pairs discipline as LSH.
+    * buckets); Hamming-radius pairs are [[simhashNearDupPairs]].
     */
   def simhashDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** SimHash near-dup PAIRS within Hamming distance `maxHamming`, via
+    * band bucketing over the native wide hash
+    * ([[graft.functions.SimHashBits]]): the nBits hash splits into
+    * `nBands` contiguous slices; by pigeonhole, any pair with hamming <=
+    * nBands-1 shares at least one intact band, so candidates form ONLY
+    * inside (band, slice) buckets — the same no-all-pairs discipline as
+    * MinHash-LSH, with the same `maxBucket` skew cap — and are verified
+    * by exact `bit_count(xor)`. Default 48 bits / 4 bands = 12-bit band
+    * space (4096 buckets per band), detecting hamming <= 3 exactly.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 48, nBands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(nBits % nBands == 0, "bands must tile the hash")
+    require(maxHamming <= nBands - 1,
+      s"banding guarantees detection only for hamming <= ${nBands - 1}")
+    val w = nBits / nBands
+    val hs = df.select(col(idCol).as("id"),
+      graft.functions.SimHashBits.simhashBits(col(textCol), nBits).as("sh"))
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1)).as("sig"))
+    }
+    val bands = hs
+      .select(col("id"), col("sh"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band"), col("bs.sig"), col("id"), col("sh"))
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_set(struct(col("id"), col("sh")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    val pairs = flatten(transform(col("xs"), (a, i) =>
+      transform(slice(col("xs"), i + lit(2),
+        greatest(size(col("xs")) - i - 1, lit(0))),
+        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          a.getField("sh").as("sh_a"), b.getField("sh").as("sh_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }
