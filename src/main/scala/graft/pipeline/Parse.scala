@@ -118,6 +118,11 @@ object Parse {
         when(col("_ok"),
           to_timestamp(tsStr, "yyyy-MM-dd'T'HH:mm:ss[.SSS]'Z'")))
       .withColumn("level", when(col("_ok"), levelC))
+      // the role AS WRITTEN IN THE LINE (brackets stripped) — for
+      // file-ingested turns (sources.GzipPatternSource.readAsTurns) the
+      // role column is a placeholder and routing uses this instead
+      .withColumn("grok_role",
+        when(col("_ok"), regexp_extract(roleC, "^\\[(\\w+)\\]$", 1)))
       .withColumn("body", when(col("_ok"), try_element_at(parts, lit(4))))
       .withColumn("tool_calls",
         regexp_extract_all(col("text"),

@@ -58,6 +58,7 @@ object Pipeline {
           .withColumn("is_continuation", lit(false))
           .withColumn("header_version", lit(null).cast(StringType))
           .withColumn("header_fields", lit(null).cast(StringType))
+          .withColumn("grok_role", lit(null).cast(StringType))
     }
     val routed = Route(parsed, excludePattern)
     val enriched = Enrich(routed)

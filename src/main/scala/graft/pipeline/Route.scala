@@ -47,9 +47,14 @@ object Route {
     val withCustom = customRules.foldLeft(withExclude) {
       case (acc, (pred, sink)) => acc.when(pred, lit(sink))
     }
+    // role sink: prefer the role PARSED FROM THE LINE (grok_role) over
+    // the role column — for transcript tables the two agree by
+    // construction; for raw-file ingest (readAsTurns) only the parsed
+    // one is real. The reference likewise routes on event CONTENT the
+    // codec produced, not on transport metadata (s3.rb:250-264).
+    val effRole = coalesce(col("grok_role"), col("role"))
     withCustom
-      .when(col("role").isin("user", "assistant", "tool", "system"),
-        col("role"))
+      .when(effRole.isin("user", "assistant", "tool", "system"), effRole)
       .otherwise(lit("other"))
   }
 

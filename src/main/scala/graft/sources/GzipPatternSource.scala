@@ -37,6 +37,53 @@ object GzipPatternSource {
   /** Default matches the reference's `gzip_pattern` default. */
   val defaultGzipPattern = "\\.gz(ip)?$"
 
+  /** Raw log files -> the pipeline's Turn table: the reference's actual
+    * input path (object -> lines -> events, one event per line with the
+    * source key stamped in metadata, s3.rb:224-264). Each file becomes a
+    * "conversation" keyed by its path; line number is the turn index;
+    * the file's modification time is the event timestamp (the reference
+    * likewise has only object-level mtime until the codec parses a
+    * better one — our grok parse then fills `parsed_ts`). The returned
+    * Dataset feeds [[graft.pipeline.Pipeline]] directly, so a reference
+    * user can point the engine at a directory of (possibly gzipped,
+    * possibly custom-named — `gzipPattern`) log files.
+    */
+  def readAsTurns(spark: SparkSession, pathGlob: String,
+      gzipPattern: String = defaultGzipPattern)
+      : Dataset[graft.pipeline.Turn] = {
+    import spark.implicits._
+    val pat = gzipPattern
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "modificationTime", "content")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        val p = java.util.regex.Pattern.compile(pat)
+        it.flatMap { case (path, mtime, bytes) =>
+          linesOf(path, bytes, p).zipWithIndex.map { case (l, i) =>
+            graft.pipeline.Turn(path, i, "file", l, null, mtime)
+          }
+        }
+      }
+  }
+
+  /** Decode one file's lines (gzip-dispatching, sanitizing, broken-file
+    * -> empty); shared by [[readLines]] and [[readAsTurns]].
+    */
+  private def linesOf(path: String, bytes: Array[Byte],
+      pat: java.util.regex.Pattern): Iterator[String] =
+    try {
+      val raw: InputStream = new ByteArrayInputStream(bytes)
+      val in =
+        if (pat.matcher(path).find()) new GZIPInputStream(raw)
+        else raw
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(reader.readLine())
+        .takeWhile(_ != null).toVector.iterator
+    } catch {
+      case _: java.io.IOException => Iterator.empty
+    }
+
   def readLines(spark: SparkSession, pathGlob: String,
       gzipPattern: String = defaultGzipPattern): Dataset[FileLine] = {
     import spark.implicits._
@@ -48,23 +95,8 @@ object GzipPatternSource {
         // config regexes at register time (s3.rb:99-128)
         val pat = java.util.regex.Pattern.compile(gzipPattern)
         it.flatMap { case (path, bytes) =>
-          try {
-            val raw: InputStream = new ByteArrayInputStream(bytes)
-            val in =
-              if (pat.matcher(path).find()) new GZIPInputStream(raw)
-              else raw
-            // InputStreamReader replaces malformed UTF-8 with U+FFFD by
-            // default — the reference's charset sanitize (s3.rb:230-233)
-            val reader = new java.io.BufferedReader(
-              new java.io.InputStreamReader(in, "UTF-8"))
-            val lines = Iterator.continually(reader.readLine())
-              .takeWhile(_ != null).toVector
-            lines.iterator.zipWithIndex.map { case (l, i) =>
-              FileLine(path, i, l)
-            }
-          } catch {
-            // broken file: skip, never crash (s3.rb:292-301)
-            case _: java.io.IOException => Iterator.empty
+          linesOf(path, bytes, pat).zipWithIndex.map { case (l, i) =>
+            FileLine(path, i, l)
           }
         }
       }

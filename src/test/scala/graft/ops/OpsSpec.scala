@@ -77,6 +77,42 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("raw log files -> pipeline ('generated events' shared example analog, " +
+      "spec:325-339): one event per line, source key in metadata, gzip transparent") {
+    import graft.sources.GzipPatternSource
+    import graft.pipeline.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rawlogs").toString
+    // uncompressed.log analog: 2 grok lines -> 2 events
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/uncompressed.log"),
+      "2025-01-01T00:00:00Z INFO [user] line one\n" +
+        "2025-01-01T00:00:01Z INFO [assistant] line two\n")
+    // compressed.log.gz analog: 2 more events, gzip-transparent
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/compressed.log.gz"))
+    gzOut.write(("2025-01-01T00:00:02Z WARN [tool] gz one\n" +
+      "2025-01-01T00:00:03Z INFO [user] gz two\n").getBytes("UTF-8"))
+    gzOut.close()
+
+    val turns = GzipPatternSource.readAsTurns(spark, s"$dir/*")
+    val routed = Pipeline(turns)
+    assert(routed.count() == 4, "2 events per fixture file")
+    // every event carries its source key (the [@metadata][s3][key]
+    // invariant, s3.rb:254) == its conv identity == the file path
+    val metas = routed.select($"conv_id", $"meta").collect()
+    assert(metas.forall(r =>
+      r.getMap[String, String](1)("source_conv") == r.getString(0)))
+    assert(routed.filter($"conv_id".endsWith("uncompressed.log")).count() == 2)
+    assert(routed.filter($"conv_id".endsWith("compressed.log.gz")).count() == 2)
+    // all four grok-parse and route by role
+    assert(routed.filter($"parse_ok").count() == 4)
+    assert(routed.groupBy($"sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("user" -> 2, "assistant" -> 1, "tool" -> 1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("invalid UTF-8 bytes sanitize to U+FFFD on read and survive the parse (invalid_utf8.gbk fixture analog)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "gbk").toString

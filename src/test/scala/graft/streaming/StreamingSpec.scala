@@ -203,6 +203,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(("dd", 0))._1 == null, "no cross-conversation leakage")
   }
 
+  test("Carry.read takes the latest snapshot STRICTLY BEFORE the batch " +
+      "(a retried batch never reads its own crashed partial state)") {
+    val root = s"$scratch/carry_unit"
+    def state(n: Long) = Seq((s"conv-$n", s"h$n", s"f$n", n))
+      .toDF("conv_id", "carry_header", "carry_fields", "carry_sessions")
+    Streaming.Carry.write(state(0), root, 0L)
+    Streaming.Carry.write(state(1), root, 1L)
+    Streaming.Carry.write(state(2), root, 2L)
+    // batch 2 retrying must see batch 1's snapshot, not its own
+    val seen = Streaming.Carry.read(spark, root, beforeBatch = 2L)
+      .select($"conv_id").head().getString(0)
+    assert(seen == "conv-1")
+    // batch 0 (or a fresh query) sees the empty state
+    assert(Streaming.Carry.read(spark, root, beforeBatch = 0L).isEmpty)
+    // retention kept a bounded window of snapshots
+    val dirs = new java.io.File(Streaming.Carry.dir(root)).listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(dirs <= 3)
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
