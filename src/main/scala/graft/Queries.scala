@@ -1077,6 +1077,83 @@ object Queries {
        ORDER BY id_a, id_b"""
   }
 
+  /** Multi-probe LSH approximate top-k ([[Similarity.lshTopK]]): scan
+    * ONLY the query's bucket plus its Hamming-1 neighbors. The oracle
+    * recomputes the buckets from the shared plane literals (e03's
+    * technique), derives the query's probe set with xor, and replays the
+    * pruned top-k — the recall-limited result is still exact-checkable
+    * because both engines prune identically.
+    */
+  def e07(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 42)
+      .head().getSeq[Float](1).map(_.toDouble)
+    Similarity.lshTopK(emb, "vec_id", "embedding", query, k = 10,
+        nPlanes = lshPlanes, probeHamming1 = true)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  val e07Sql: String = {
+    val planeRows = (0 until lshDims).map { d =>
+      val comps = (0 until lshPlanes)
+        .map(p => Similarity.planeComponent(p, d).toString)
+        .mkString(", ")
+      s"(${d + 1}, $comps)"
+    }.mkString(",\n         ")
+    val dotCols = (0 until lshPlanes)
+      .map(p => s"sum(v::DOUBLE * p$p) AS d$p").mkString(", ")
+    val bucketExpr = (0 until lshPlanes)
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val flipBits = (0 until lshPlanes).map(p => (1L << p).toString)
+      .mkString(", ")
+    s"""WITH pl(i, ${(0 until lshPlanes).map("p" + _).mkString(", ")}) AS (
+         VALUES $planeRows),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       buckets AS (SELECT vec_id, $bucketExpr AS b
+                   FROM (SELECT vec_id, $dotCols
+                         FROM be JOIN pl ON be.i = pl.i GROUP BY vec_id)),
+       qb AS (SELECT b FROM buckets WHERE vec_id = 42),
+       probes AS (SELECT b AS pb FROM qb
+                  UNION ALL
+                  SELECT xor(qb.b, f) FROM qb, UNNEST([$flipBits]) t(f)),
+       qe AS (SELECT i, v FROM be WHERE vec_id = 42),
+       qn AS (SELECT sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM qe),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+              FROM be GROUP BY vec_id),
+       cand AS (SELECT vec_id FROM buckets
+                WHERE b IN (SELECT pb FROM probes)),
+       dots AS (SELECT be.vec_id, sum(be.v::DOUBLE * qe.v::DOUBLE) AS d
+                FROM be JOIN qe ON be.i = qe.i
+                JOIN cand ON cand.vec_id = be.vec_id
+                GROUP BY be.vec_id)
+       SELECT dots.vec_id, round(dots.d / (bn.n * qn.n), 6) AS cosine
+       FROM dots JOIN bn ON bn.vec_id = dots.vec_id, qn
+       ORDER BY dots.d / (bn.n * qn.n) DESC, dots.vec_id LIMIT 10"""
+  }
+
+  /** §2.4 optional depth: CUBE over (event_type, value-band) — every
+    * grouping-set combination incl. grand total in one pass. Spark's
+    * `cube` == ANSI GROUP BY CUBE (DuckDB), null = the rolled-up level.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .cube(col("event_type"),
+        (floor(col("value") / 50.0) * 50).cast("long").as("value_band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first,
+        col("value_band").asc_nulls_first)
+
+  val q26Sql: String =
+    """WITH x AS (SELECT event_type,
+         CAST(floor(value / 50.0) * 50 AS BIGINT) AS value_band, value
+         FROM events)
+       SELECT event_type, value_band,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM x GROUP BY CUBE (event_type, value_band)
+       ORDER BY event_type ASC NULLS FIRST, value_band ASC NULLS FIRST"""
+
   /** One Lloyd/k-means refinement iteration, DataFrame-native (the
     * distributed shape behind [[Similarity.kmeansIteration]]): per
     * (cluster, dim) mean of the assigned vectors — a single hash
@@ -1358,6 +1435,7 @@ object Queries {
     "q23_multiline_configured" -> (q23 _),
     "q24_json_codec_mode" -> (q24 _),
     "q25_percentiles" -> (q25 _),
+    "q26_cube" -> (q26 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_token_count" -> (d02 _),
     "d03_quality_score" -> (d03 _),
@@ -1376,6 +1454,7 @@ object Queries {
     "e04_ivf_assignment" -> (e04 _),
     "e05_ivf_topk" -> (e05 _),
     "e06_kmeans_iteration" -> (e06 _),
+    "e07_lsh_topk" -> (e07 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -1408,6 +1487,7 @@ object Queries {
     "q23_multiline_configured" -> q23Sql,
     "q24_json_codec_mode" -> q24Sql,
     "q25_percentiles" -> q25Sql,
+    "q26_cube" -> q26Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_token_count" -> d02Sql,
     "d03_quality_score" -> d03Sql,
@@ -1426,6 +1506,7 @@ object Queries {
     "e04_ivf_assignment" -> e04Sql,
     "e05_ivf_topk" -> e05Sql,
     "e06_kmeans_iteration" -> e06Sql,
+    "e07_lsh_topk" -> e07Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "p01_pipeline_fanout" -> p01Sql,
