@@ -1069,9 +1069,13 @@ object Queries {
        sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM votes),
        bands AS (SELECT doc_id, sh, b, (sh >> (b * 12)) & 4095 AS sig
                  FROM sh, UNNEST([0, 1, 2, 3]) t(b)),
+       sizes AS (SELECT b, sig FROM bands GROUP BY b, sig
+                 HAVING count(*) > 1 AND count(*) <= 1000),
        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-                 FROM bands a JOIN bands b
+                 FROM bands a
+                 JOIN sizes s ON s.b = a.b AND s.sig = a.sig
+                 JOIN bands b
                   ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id)
        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
        ORDER BY id_a, id_b"""

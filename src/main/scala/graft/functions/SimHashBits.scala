@@ -43,20 +43,45 @@ case class SimHashBits(child: Expression, nBits: Int)
 
 object SimHashBits {
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  // per-row allocation hygiene for the hot path: the whitespace pattern
+  // compiles once per JVM; the digest is thread-local (MessageDigest is
+  // not thread-safe; digest() leaves it reset for reuse)
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val mdLocal =
+    java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Strip ASCII SPACES only — SQL `trim` semantics (Java String.trim
+    * strips every char <= U+0020, which would diverge from the oracle on
+    * tab/newline-adjacent text).
+    */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Tokenization is EXACTLY `regexp_split_to_array(lower(trim(text)),
+    * '\s+')`: space-only trim, a leading non-space whitespace char
+    * yields a leading EMPTY token, and empty text hashes the single
+    * empty token (md5("")) — so the SQL oracle replays this
+    * bit-for-bit on any input, not just the fixtures. (Lowercasing is
+    * Locale.ROOT; identical to SQL `lower` for ASCII corpora.)
+    */
   def compute(s: UTF8String, nBits: Int): Long = {
-    val text = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
-    if (text.isEmpty) return 0L
-    val toks = text.split("\\s+")
+    val text = trimSpaces(s.toString.toLowerCase(java.util.Locale.ROOT))
+    val toks = ws.split(text, -1)
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](nBits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
       if (seen.add(tok)) {
         val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.reset()
         var j = 0
         while (j < nBits) {
           val k = j >> 2 // hex-char index

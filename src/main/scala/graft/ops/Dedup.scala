@@ -266,7 +266,7 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       nBits: Int = 48, nBands: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     require(nBits % nBands == 0, "bands must tile the hash")
     require(maxHamming <= nBands - 1,
       s"banding guarantees detection only for hamming <= ${nBands - 1}")
@@ -278,22 +278,19 @@ object Dedup {
         shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1)).as("sig"))
     }
     val bands = hs
-      .select(col("id"), col("sh"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("bs.band"), col("bs.sig"), col("id"), col("sh"))
-    val buckets = bands.groupBy(col("band"), col("sig"))
-      .agg(array_sort(collect_set(struct(col("id"), col("sh")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-    val pairs = flatten(transform(col("xs"), (a, i) =>
-      transform(slice(col("xs"), i + lit(2),
-        greatest(size(col("xs")) - i - 1, lit(0))),
-        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-          a.getField("sh").as("sh_a"), b.getField("sh").as("sh_b")))))
-    buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long")
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band"), col("bs.sig").cast("string").as("sig"),
+        col("id"))
+    // candidate pairs via the SHARED bucket expansion (scalar id arrays,
+    // capped — one place owns the pairing + skew-cap semantics), then
+    // join the hashes back for the exact verify
+    val pairs = lshCandidatePairs(bands, "id", maxBucket)
+    pairs
+      .join(hs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -40,8 +40,8 @@ object Parse {
   case class ParsedLine(
       conv_id: String, turn_idx: Int, role: String, text: String,
       tool: String, ts: java.sql.Timestamp,
-      parsed_ts_str: String, level: String, body: String,
-      tool_calls: Seq[String], header_version: String,
+      parsed_ts_str: String, level: String, grok_role: String,
+      body: String, tool_calls: Seq[String], header_version: String,
       header_fields: String, is_continuation: Boolean, parse_ok: Boolean)
 
   /** Typed `Dataset.map` parse with the dictionary compiled once per
@@ -63,9 +63,9 @@ object Parse {
       val toolCall = pat("TOOL_CALL")
       it.map { t =>
         val m = logline.matcher(t.text)
-        val (pts, lvl, body, ok) =
-          if (m.matches()) (m.group(1), m.group(2), m.group(4), true)
-          else (null, null, null, false)
+        val (pts, lvl, grokRole, body, ok) =
+          if (m.matches()) (m.group(1), m.group(2), m.group(3), m.group(4), true)
+          else (null, null, null, null, false)
         val mv = hdrV.matcher(t.text)
         val mf = hdrF.matcher(t.text)
         val mc = cont.matcher(t.text)
@@ -76,7 +76,7 @@ object Parse {
           b.result()
         }
         ParsedLine(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-          pts, lvl, body, calls,
+          pts, lvl, grokRole, body, calls,
           if (mv.matches()) mv.group(1) else null,
           if (mf.matches()) mf.group(1) else null,
           mc.matches(), ok)

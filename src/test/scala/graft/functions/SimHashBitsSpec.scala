@@ -11,11 +11,15 @@ class SimHashBitsSpec extends AnyFunSuite {
 
   /** Independent reference: per-bit recompute from the md5 HEX STRING
     * (the exact definition the SQL oracle uses), no byte-twiddling.
+    * Tokenization mirrors DuckDB verbatim (verified empirically):
+    * space-only trim, `\s+` split KEEPING empty boundary tokens,
+    * '' -> [''].
     */
   private def reference(s: String, nBits: Int): Long = {
-    val toks = s.trim.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty).distinct
-    if (toks.isEmpty || (toks.length == 1 && toks(0).isEmpty)) return 0L
+    def trimSp(x: String) = x.dropWhile(_ == ' ')
+      .reverse.dropWhile(_ == ' ').reverse
+    val toks = trimSp(s.toLowerCase(java.util.Locale.ROOT))
+      .split("\\s+", -1).distinct
     val hexes = toks.map { t =>
       java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -32,7 +36,10 @@ class SimHashBitsSpec extends AnyFunSuite {
   test("one-pass native compute == per-bit hex-string reference (the SQL definition)") {
     val rng = new scala.util.Random(5)
     val cases = Seq("single", "two tokens", "the the the dup dup tokens",
-      "  padded   with   spaces  ") ++
+      "  padded   with   spaces  ",
+      // SQL-parity edge cases (DuckDB keeps boundary empty tokens after
+      // a space-only trim; empty text hashes the single empty token)
+      "", "\thas a leading tab", "trailing tab\t", "mid\t\ttabs") ++
       (1 to 30).map(_ => (1 to 1 + rng.nextInt(20))
         .map(_ => rng.alphanumeric.take(1 + rng.nextInt(8)).mkString)
         .mkString(" "))
