@@ -121,8 +121,11 @@ object Parse {
       // the role AS WRITTEN IN THE LINE (brackets stripped) — for
       // file-ingested turns (sources.GzipPatternSource.readAsTurns) the
       // role column is a placeholder and routing uses this instead
+      // brackets stripped by substring, NOT a regex: _ok already proved
+      // the token matches ^\[\w+\]$, and this runs per row in the hot
+      // parse path
       .withColumn("grok_role",
-        when(col("_ok"), regexp_extract(roleC, "^\\[(\\w+)\\]$", 1)))
+        when(col("_ok"), roleC.substr(lit(2), length(roleC) - 2)))
       .withColumn("body", when(col("_ok"), try_element_at(parts, lit(4))))
       .withColumn("tool_calls",
         regexp_extract_all(col("text"),
