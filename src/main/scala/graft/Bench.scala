@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
@@ -16,25 +16,53 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = BenchPipeline.session(cpus.toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // best-of-2 per query: the sandbox VM sees bursty hypervisor steal
+    // (2x swings between identical runs), so a single timing window can
+    // misattribute machine noise to a plan regression. The per-query
+    // minimum of two passes is the same discipline ScalingBench applies
+    // per parallelism level. Failures are LOUD: a broken query must not
+    // masquerade as a (short) timing — it is recorded in `errors` and
+    // its time reported as -1.
+    val errors = scala.collection.mutable.Map[String, String]()
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          -1.0
+      }
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val a = timeOnce(name, fn)
+      val b = timeOnce(name, fn)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""{"query":"$k","error":"$v"}""" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
 
     // the authoritative metric: pipeline throughput at this parallelism
+    // (warmup pass absorbs JIT/codegen; then best-of-2 timed passes)
     val inputPath = BenchPipeline.ensureInput(spark,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toLong)
-    val (rows, sec) = BenchPipeline.timePipeline(spark, inputPath)
+    BenchPipeline.timePipeline(spark, inputPath) // warmup
+    val (rows, sec) = Seq(
+      BenchPipeline.timePipeline(spark, inputPath),
+      BenchPipeline.timePipeline(spark, inputPath)).minBy(_._2)
     val tput = rows / sec
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,""" +
       s""""pipeline":{"turns":$rows,"sec":$sec,"turns_per_sec":$tput,"cores":$cpus},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
 
@@ -83,9 +111,16 @@ object ScalingBench {
     val (s1, s2) = (best(c1), best(c2))
     val (t1, t2) = (rows / s1, rows / s2)
     val eff = (t2 / t1) / (c2.toDouble / c1)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
+    val json = s"""{"metric":"scaling_efficiency","value":$eff,""" +
       s""""rows":$rows,"n":{"cores":$c1,"sec":$s1,"turns_per_sec":$t1},""" +
-      s""""n4":{"cores":$c2,"sec":$s2,"turns_per_sec":$t2}}""")
+      s""""n4":{"cores":$c2,"sec":$s2,"turns_per_sec":$t2}}"""
+    println(json)
+    // machine-readable artifact of the BASELINE.json >=0.8 gate — the
+    // prose claim in BENCH.md is backed by a committed JSON per round
+    val out = args.lift(3).orElse(sys.env.get("SPARK_GRAFT_SCALING_OUT"))
+      .getOrElse("/root/repo/SCALING.json")
+    val w = new java.io.PrintWriter(new java.io.File(out))
+    try w.println(json) finally w.close()
   }
 }
 

@@ -1196,6 +1196,59 @@ object Queries {
        FROM a JOIN be ON be.vec_id = a.vec_id
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Multi-iteration Lloyd with a convergence-replayable oracle: TWO
+    * assign->means rounds ([[Similarity.kmeans]]), means rounded to 6
+    * digits between rounds so the second assignment's inputs are
+    * engine-exact (the e06 equivalence point, composed). Output = the
+    * final centroid matrix as (cluster, dim, mean) rows.
+    */
+  def e08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val cents = Similarity.kmeans(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dims = lshDims, roundDigits = 6)
+    cents.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (m, d) => (cid, d.toLong, m) }
+    }.toDF("ivf_cluster", "d", "mean")
+      .orderBy(col("ivf_cluster"), col("d"))
+  }
+
+  /** The e06 SQL composed twice: assignment-1 (initial centroids = the 8
+    * smallest vec_ids, ties to LARGEST cid) -> rounded means m1 ->
+    * assignment-2 against m1 -> rounded means out.
+    */
+  val e08Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v FROM c),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM ce GROUP BY cid),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM be GROUP BY vec_id),
+       d1 AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+              FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       a1 AS (SELECT vec_id, cid FROM (
+                  SELECT d1.vec_id, d1.cid,
+                  row_number() OVER (PARTITION BY d1.vec_id
+                    ORDER BY d1.d / (bn.n * cn.n) DESC, d1.cid DESC) AS rn
+                  FROM d1 JOIN bn ON bn.vec_id = d1.vec_id
+                  JOIN cn ON cn.cid = d1.cid) WHERE rn = 1),
+       m1 AS (SELECT a1.cid, be.i, round(avg(be.v::DOUBLE), 6) AS v
+              FROM a1 JOIN be ON be.vec_id = a1.vec_id GROUP BY 1, 2),
+       m1n AS (SELECT cid, sqrt(sum(v * v)) AS n FROM m1 GROUP BY cid),
+       d2 AS (SELECT be.vec_id, m1.cid, sum(be.v::DOUBLE * m1.v) AS d
+              FROM be JOIN m1 ON be.i = m1.i GROUP BY be.vec_id, m1.cid),
+       a2 AS (SELECT vec_id, cid FROM (
+                  SELECT d2.vec_id, d2.cid,
+                  row_number() OVER (PARTITION BY d2.vec_id
+                    ORDER BY d2.d / (bn.n * m1n.n) DESC, d2.cid DESC) AS rn
+                  FROM d2 JOIN bn ON bn.vec_id = d2.vec_id
+                  JOIN m1n ON m1n.cid = d2.cid) WHERE rn = 1)
+       SELECT a2.cid AS ivf_cluster, be.i - 1 AS d,
+              round(avg(be.v::DOUBLE), 6) AS mean
+       FROM a2 JOIN be ON be.vec_id = a2.vec_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Composite training-data CURATION pipeline — the end-to-end flow a
     * 100 TB curation job runs: exact dedup (hash-agg + semi-join) ->
     * quality filter (narrow codegen'd features) -> language ID (narrow
@@ -1459,6 +1512,7 @@ object Queries {
     "e05_ivf_topk" -> (e05 _),
     "e06_kmeans_iteration" -> (e06 _),
     "e07_lsh_topk" -> (e07 _),
+    "e08_kmeans_converged" -> (e08 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -1511,6 +1565,7 @@ object Queries {
     "e05_ivf_topk" -> e05Sql,
     "e06_kmeans_iteration" -> e06Sql,
     "e07_lsh_topk" -> e07Sql,
+    "e08_kmeans_converged" -> e08Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "p01_pipeline_fanout" -> p01Sql,

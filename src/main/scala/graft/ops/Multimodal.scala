@@ -49,7 +49,13 @@ object Multimodal {
   def synthPayload(id: Long, kind: String, w: Int, h: Int,
       dur: Int): Array[Byte] = {
     val rng = new java.util.Random(id * 2654435761L)
-    val body = new Array[Byte](256 + ((id * 2654435761L) % 1024L).toInt)
+    // floorMod, not %: for id >= ~3.47e9 the product wraps negative and
+    // Java % would return a negative remainder (NegativeArraySizeException
+    // + divergence from the oracle's exact-arithmetic modulo). Since 1024
+    // divides 2^64, floorMod of the wrapped product equals the true
+    // mathematical mod for ALL ids.
+    val body = new Array[Byte](256 +
+      Math.floorMod(id * 2654435761L, 1024L).toInt)
     rng.nextBytes(body)
     val bb = java.nio.ByteBuffer.allocate(16 + body.length)
     bb.putInt(0x4D454449) // "MEDI"

@@ -138,14 +138,23 @@ object Similarity {
   /** One Lloyd refinement iteration, DataFrame-native: explode vector
     * components, average per (cluster, dim) — a single hash aggregate —
     * and collect the k x d means to the driver (tiny). Returns refined
-    * centroids keyed 0..k-1.
+    * centroids keyed by the assignment's cluster ids (clusters that lost
+    * every member drop out, exactly like a SQL GROUP BY replay).
+    *
+    * `roundDigits >= 0` rounds each mean IN THE QUERY (Spark `round`,
+    * HALF_UP) — multi-iteration runs round between iterations so the
+    * reassignment inputs are engine-exact against a SQL oracle that
+    * rounds the same way (the e06-proven equivalence point).
     */
   def kmeansIteration(assigned: DataFrame, vecCol: String,
-      dims: Int): Seq[(Long, Seq[Double])] =
+      dims: Int, roundDigits: Int = -1): Seq[(Long, Seq[Double])] = {
+    val mean =
+      if (roundDigits >= 0) round(avg(col("v")), roundDigits)
+      else avg(col("v"))
     assigned
       .select(col("ivf_cluster"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("ivf_cluster"), col("d"))
-      .agg(avg(col("v")).as("m"))
+      .agg(mean.as("m"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq
@@ -154,6 +163,25 @@ object Similarity {
         rows.foreach { case (_, d, m) => arr(d) = m }
         (cid, arr.toSeq)
       }
+  }
+
+  /** Iterated Lloyd/k-means: `iters` rounds of (assign -> means), each a
+    * narrow codegen'd assignment map plus ONE hash aggregate; only the
+    * k x d centroid matrix ever reaches the driver. Centroid means are
+    * rounded to `roundDigits` between iterations so every iteration's
+    * inputs are reproducible across engines (an unrounded float64 mean
+    * depends on partition-level summation order; the rounded value is
+    * the cross-engine fixpoint e06 verifies). Returns the final
+    * centroids.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, dims: Int, roundDigits: Int = 6): Seq[(Long, Seq[Double])] = {
+    var cents = ivfCentroids(df, idCol, vecCol, k)
+    for (_ <- 1 to iters)
+      cents = kmeansIteration(ivfAssign(df, vecCol, cents), vecCol, dims,
+        roundDigits)
+    cents
+  }
 
   /** IVF search: score only vectors whose cluster is among the query's
     * `nprobe` nearest centroids. The cluster filter is a literal IN —

@@ -77,27 +77,93 @@ object Discover {
     * Scale note: this is one name-only listing per cycle — exactly the
     * reference's ListObjects cost; the driver holds file paths, not data.
     */
-  def listInputFiles(spark: SparkSession, inputPath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(inputPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def listInputFiles(spark: SparkSession, inputPath: String,
+      skipDays: Set[String] = Set.empty): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inputPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE relativizing: for a relative inputPath (or a
+    // differently-qualified URI) a raw stripPrefix would not match the
+    // absolute listed paths, so ancestor directories OUTSIDE the input
+    // root (e.g. /root/.cache) would get hidden-checked — silently
+    // excluding every file and yielding a permanently empty delta.
+    val root = fs.makeQualified(new Path(inputPath))
     if (!fs.exists(root)) return Seq.empty
-    val rootUri = root.toUri.getPath
-    val it = fs.listFiles(root, true)
     val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val f = it.next()
-      // hide-at-EVERY-level, like Spark's own InMemoryFileIndex: a file
-      // under _temporary/ or .staging/ (an in-flight committer write)
-      // must not enter the pinned snapshot — reading half-written
-      // parquet is exactly the race the pin exists to close
-      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
-      val segments = rel.split('/').filter(_.nonEmpty)
-      val hidden = segments.exists(s => s.startsWith("_") || s.startsWith("."))
-      if (f.getPath.getName.endsWith(".parquet") && !hidden)
-        out += f.getPath.toString
-    }
+    // manual recursion (vs listFiles(recursive)) so a pruned day
+    // partition is never even LISTED — the server-side-prefix
+    // discipline (s3.rb:144; docs push `prefix` precisely to avoid
+    // listing what you'll drop). At 100x file counts the O(all-files)
+    // driver walk is the cycle's fixed cost; fully-committed days
+    // (watermark at end-of-day, `skipDays`) drop out of it entirely.
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        // hide-at-EVERY-level under the root, like Spark's own
+        // InMemoryFileIndex: a file under _temporary/ or .staging/ (an
+        // in-flight committer write) must not enter the pinned snapshot
+        // — reading half-written parquet is exactly the race the pin
+        // exists to close
+        val hidden = name.startsWith("_") || name.startsWith(".")
+        if (!hidden) {
+          if (st.isDirectory) {
+            val skip = name.startsWith("day=") &&
+              skipDays.contains(name.stripPrefix("day="))
+            if (!skip) walk(st.getPath)
+          } else if (name.endsWith(".parquet")) out += st.getPath.toString
+        }
+      }
+    walk(root)
     out.result().sorted
   }
+
+  /** Days whose committed watermark has reached end-of-day: no row of
+    * that partition can ever satisfy `ts > wm` again, so discovery may
+    * skip LISTING the partition altogether (not merely filter it).
+    * End-of-day = next midnight minus 1 microsecond (timestamp
+    * granularity), computed in UTC like every pipeline timestamp.
+    */
+  def completedDays(wms: Map[String, Timestamp]): Set[String] =
+    wms.collect { case (d, t) if d != null && {
+      val endOfDay = try {
+        val day = java.time.LocalDate.parse(d)
+        Timestamp.from(day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.minusNanos(1000L))
+      } catch { case _: java.time.format.DateTimeParseException =>
+        new Timestamp(Long.MaxValue) } // unparseable day: never skip
+      !t.before(endOfDay)
+    } => d }.toSet
+
+  /** S6 as a PIPELINE predicate — the `file_restored?` analog
+    * (s3.rb:155-156, 428-444): rows in a cold storage tier (GLACIER /
+    * DEEP_ARCHIVE) are ineligible for discovery unless their restore
+    * header shows a COMPLETED restore (`ongoing-request="false"`) whose
+    * `expiry-date` is still in the future at the injected clock. The
+    * header format and parse are the reference's exactly (q22 mirrors
+    * both in SQL). No storage-class column configured -> every row
+    * eligible (the reference's non-Glacier default path).
+    *
+    * Pure literal/column predicate, so it joins the cutoff inside the
+    * scan's pushed filters: at 100 TB the cold partitions never leave
+    * the parquet reader.
+    */
+  def storageEligiblePredicate(cfg: PipelineConfig, asOf: Timestamp): Column =
+    if (cfg.storageClassCol == null || cfg.storageClassCol.isEmpty) lit(true)
+    else {
+      val sc = col(cfg.storageClassCol)
+      val warm = sc.isNull || !sc.isin("GLACIER", "DEEP_ARCHIVE")
+      val restored =
+        if (cfg.restoreHeaderCol == null || cfg.restoreHeaderCol.isEmpty)
+          lit(false) // cold and no restore metadata -> never eligible
+        else {
+          val rh = col(cfg.restoreHeaderCol)
+          rh.isNotNull &&
+            regexp_extract(rh, "ongoing-request=\"(\\w+)\"", 1) === "false" &&
+            to_timestamp(
+              regexp_extract(rh, "expiry-date=\"([^\"]+)\"", 1)) > lit(asOf)
+        }
+      warm || restored
+    }
 
   /** Discover the unprocessed delta of the transcript table: rows newer
     * than each partition's committed watermark and older than the
@@ -115,9 +181,13 @@ object Discover {
   def delta(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
       wms: Map[String, Timestamp]): DataFrame = {
     import spark.implicits._
-    val schema =
-      Schema.turnSchema.add("day", org.apache.spark.sql.types.StringType)
-    val files = listInputFiles(spark, cfg.inputPath)
+    import org.apache.spark.sql.types.StringType
+    // storage-eligibility columns (S6) ride along in the read schema
+    // only when configured — the base Turn table doesn't carry them
+    val schema = Seq(Option(cfg.storageClassCol), Option(cfg.restoreHeaderCol))
+      .flatten.foldLeft(Schema.turnSchema)(_.add(_, StringType))
+      .add("day", StringType)
+    val files = listInputFiles(spark, cfg.inputPath, completedDays(wms))
     val input =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -140,6 +210,7 @@ object Discover {
 
     val guarded = watermarked
       .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
+      .filter(storageEligiblePredicate(cfg, asOf)) // S6 Glacier eligibility
       .filter(length(col("text")) > 0) // S3 zero-length skip
     // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
     // archive namespace (conv_id carrying the archive prefix) are never

@@ -29,14 +29,39 @@ object Lineage {
 
   def path(sinkRoot: String): String = s"$sinkRoot/_lineage"
 
+  /** Checkpoint IDENTITY: MD5 of the discovery-shaping config — the
+    * reference keys its sincedb file by `MD5(bucket+prefix)` so two
+    * plugin instances watching different prefixes never share (and
+    * cross-advance) a watermark (s3.rb:337-344). Ours hashes the fields
+    * that determine WHICH rows a pipeline discovers: input path, exclude
+    * pattern, archive prefix.
+    */
+  def checkpointId(cfg: PipelineConfig): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ident = s"${cfg.inputPath}|${cfg.excludePattern}|${cfg.archivePrefix}"
+    md.digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Resolve the lineage table directory for a config: the default keeps
+    * the historical `<sinkRoot>/_lineage` location; an explicit
+    * `lineagePath` namespaces by [[checkpointId]] (the `sincedb_path`
+    * analog), so pipelines sharing a sinkRoot advance independently.
+    */
+  def dirFor(cfg: PipelineConfig): String =
+    if (cfg.lineagePath == null || cfg.lineagePath.isEmpty)
+      path(cfg.sinkRoot)
+    else s"${cfg.lineagePath}/${checkpointId(cfg)}"
+
   /** All committed lineage rows; empty DataFrame if no checkpoint exists
     * yet (the "empty sincedb file reads as epoch, no exception" semantic,
     * sincedb_spec.rb:14-16, s3.rb:455-459).
     */
-  def read(spark: SparkSession, sinkRoot: String): DataFrame = {
+  def read(spark: SparkSession, sinkRoot: String): DataFrame =
+    readAt(spark, path(sinkRoot))
+
+  def readAt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = path(sinkRoot)
-    if (exists(spark, p)) spark.read.parquet(p)
+    if (exists(spark, dir)) spark.read.parquet(dir)
     else spark.emptyDataset[Commit].toDF()
   }
 
@@ -44,7 +69,10 @@ object Lineage {
     * per partition day ever committed).
     */
   def watermarks(spark: SparkSession, sinkRoot: String): Map[String, Timestamp] =
-    read(spark, sinkRoot)
+    watermarksAt(spark, path(sinkRoot))
+
+  def watermarksAt(spark: SparkSession, dir: String): Map[String, Timestamp] =
+    readAt(spark, dir)
       .groupBy(col("day")).agg(max(col("last_ts")).as("wm"))
       .collect()
       .map(r => r.getString(0) -> r.getTimestamp(1))
@@ -56,15 +84,24 @@ object Lineage {
     * s3.rb:383-390).
     */
   def committedBatches(spark: SparkSession, sinkRoot: String): Set[String] =
-    read(spark, sinkRoot).select("batch_id").distinct()
+    committedBatchesAt(spark, path(sinkRoot))
+
+  def committedBatchesAt(spark: SparkSession, dir: String): Set[String] =
+    readAt(spark, dir).select("batch_id").distinct()
       .collect().map(_.getString(0)).toSet
 
   /** Append commit rows for a published batch. */
-  def commit(spark: SparkSession, sinkRoot: String, rows: Seq[Commit]): Unit = {
+  def commit(spark: SparkSession, sinkRoot: String, rows: Seq[Commit]): Unit =
+    commitAt(spark, path(sinkRoot), rows)
+
+  def commitAt(spark: SparkSession, dir: String, rows: Seq[Commit]): Unit = {
     import spark.implicits._
+    // coalesce(1) is CORRECT here, not a scale smell: a commit is a
+    // handful of rows (one per partition day) and the O(1)-read
+    // compaction bounds the file count — do not copy this to data tables
     if (rows.nonEmpty)
       rows.toDS().toDF().coalesce(1).write.mode(SaveMode.Append)
-        .parquet(path(sinkRoot))
+        .parquet(dir)
   }
 
   /** Compact the lineage table when it has accumulated more than
@@ -88,16 +125,19 @@ object Lineage {
     *  - only files listed BEFORE the rewrite are deleted — commits
     *    appended concurrently are never touched.
     */
-  def compact(spark: SparkSession, sinkRoot: String, maxFiles: Int = 64): Boolean = {
+  def compact(spark: SparkSession, sinkRoot: String, maxFiles: Int = 64): Boolean =
+    compactAt(spark, path(sinkRoot), maxFiles)
+
+  def compactAt(spark: SparkSession, dir: String, maxFiles: Int = 64): Boolean = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(path(sinkRoot))
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
     val oldFiles = fs.listStatus(p).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
     if (oldFiles.length <= maxFiles) return false
     // read EXACTLY the listed files (pinned), rewrite into one file
-    val staging = new Path(path(sinkRoot) + "_compacting")
+    val staging = new Path(dir + "_compacting")
     if (fs.exists(staging)) fs.delete(staging, true)
     spark.read.parquet(oldFiles.map(_.toString): _*)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -124,11 +164,16 @@ object Lineage {
     * idempotent. Mirrors the reference's sincedb identity
     * `MD5(bucket+prefix)` (s3.rb:340).
     */
-  def batchId(asOf: Timestamp, wms: Map[String, Timestamp]): String = {
+  def batchId(asOf: Timestamp, wms: Map[String, Timestamp],
+      ident: String = ""): String = {
     val state = wms.toSeq.sortBy(_._1)
       .map { case (d, t) => s"$d=${t.getTime}" }.mkString(",")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"${asOf.getTime}|$state".getBytes("UTF-8"))
+    // `ident` (the checkpoint identity) keeps batch ids DISJOINT between
+    // two pipelines publishing into one sinkRoot: without it, identical
+    // (asOf, state) pairs would collide and the second publish would
+    // replace the first's batch directory
+    md.digest(s"$ident|${asOf.getTime}|$state".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 

@@ -28,9 +28,12 @@ object Main {
 
   def runCycle(spark: SparkSession, cfg: PipelineConfig,
       asOf: Timestamp): CycleResult = {
-    // 1. checkpoint state — read ONCE per cycle (CHANGELOG.md:8 semantics)
-    val wms = Lineage.watermarks(spark, cfg.sinkRoot)
-    val batchId = Lineage.batchId(asOf, wms)
+    // 1. checkpoint state — read ONCE per cycle (CHANGELOG.md:8
+    // semantics), from the config's resolved lineage location (identity-
+    // keyed when lineagePath is set — the sincedb_path analog)
+    val lineageDir = Lineage.dirFor(cfg)
+    val wms = Lineage.watermarksAt(spark, lineageDir)
+    val batchId = Lineage.batchId(asOf, wms, Lineage.checkpointId(cfg))
 
     // 2. discovery: the unprocessed, cutoff-eligible delta
     val delta = Discover.delta(spark, cfg, asOf, wms)
@@ -55,16 +58,24 @@ object Main {
       return CycleResult(batchId, 0L, Seq.empty)
     }
 
-    // 6. staged write -> 7. atomic publish -> 8. metrics -> 9. commit
+    // 6. staged write -> 7. atomic publish -> 8. archive copy (iff
+    // configured; BEFORE the commit, like the reference's backup-then-
+    // sincedb ordering s3.rb:169-183, 380-388) -> 9. metrics -> 10.
+    // commit -> 11. consumption mark (the `delete` analog, only after
+    // the commit succeeded — the reference likewise deletes last)
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
+    if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
+      Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     val now = new Timestamp(System.currentTimeMillis())
-    Lineage.commit(spark, cfg.sinkRoot,
+    Lineage.commitAt(spark, lineageDir,
       newWms.map { case (d, mx, n) =>
         Lineage.Commit(batchId, d, mx, n, now)
       }.toSeq)
-    Lineage.compact(spark, cfg.sinkRoot) // no-op until history accumulates
+    Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
+    if (cfg.deleteAfterProcess)
+      Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
     routed.unpersist()
     CycleResult(batchId, total, published)
   }
@@ -105,7 +116,13 @@ object Main {
         .map(_.split(",").toSeq).getOrElse(Seq("message", "level")),
       multilinePattern = opts.getOrElse("multiline-pattern", "^\\s+"),
       multilineNegate = opts.get("multiline-negate").exists(_.toBoolean),
-      multilineWhat = opts.getOrElse("multiline-what", "previous"))
+      multilineWhat = opts.getOrElse("multiline-what", "previous"),
+      storageClassCol = opts.getOrElse("storage-class-col", null),
+      restoreHeaderCol = opts.getOrElse("restore-header-col", null),
+      lineagePath = opts.getOrElse("lineage-path", null),
+      backupAddPrefix = opts.getOrElse("backup-add-prefix", null),
+      deleteAfterProcess = opts.get("delete-after-process")
+        .exists(_.toBoolean))
     val res = runCycle(spark, cfg, asOf)
     println(s"""{"batch_id":"${res.batchId}","rows":${res.rowsProcessed},""" +
       s""""sinks":[${res.publishedSinks.map("\"" + _ + "\"").mkString(",")}]}""")

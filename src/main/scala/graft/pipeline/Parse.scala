@@ -242,9 +242,13 @@ object Parse {
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
     // validity = the text IS a JSON document (a field-level type mismatch
     // does not condemn the event — the reference emits json_with_message
-    // rows as normal events)
+    // rows as normal events). The bare document `null` IS valid JSON
+    // (json_valid('null') = true, the semantics the q24 oracle uses) but
+    // get_json_object returns SQL NULL for it — special-cased so it is
+    // not dead-lettered.
     val withOk = parsed.withColumn("json_ok",
-      get_json_object(col(textCol), "$").isNotNull)
+      get_json_object(col(textCol), "$").isNotNull ||
+        trim(col(textCol)) === "null")
     val promoted = fields.fields.foldLeft(withOk) { (acc, f) =>
       if (f.name == "message")
         acc.withColumn("json_message",

@@ -47,12 +47,16 @@ object Route {
     val withCustom = customRules.foldLeft(withExclude) {
       case (acc, (pred, sink)) => acc.when(pred, lit(sink))
     }
-    // role sink: prefer the role PARSED FROM THE LINE (grok_role) over
-    // the role column — for transcript tables the two agree by
-    // construction; for raw-file ingest (readAsTurns) only the parsed
-    // one is real. The reference likewise routes on event CONTENT the
-    // codec produced, not on transport metadata (s3.rb:250-264).
-    val effRole = coalesce(col("grok_role"), col("role"))
+    // role sink: the parsed-from-content role (grok_role) is authoritative
+    // ONLY where the role column is a known placeholder — null, or the
+    // `file` sentinel stamped by raw-file ingest (readAsTurns), where no
+    // transport metadata exists and the codec output is all there is
+    // (s3.rb:250-264). For transcript tables the metadata column stays
+    // authoritative: preferring line content there would let user-authored
+    // text that happens to parse as a grok line with a different bracketed
+    // role silently reroute the row — a content-spoofable routing path.
+    val effRole = when(col("role").isNull || col("role") === "file",
+      coalesce(col("grok_role"), col("role"))).otherwise(col("role"))
     withCustom
       .when(effRole.isin("user", "assistant", "tool", "system"), effRole)
       .otherwise(lit("other"))

@@ -59,6 +59,35 @@ case class EnrichedTurn(
   * @param saltBuckets     salt fan-out for hot-conversation skew
   * @param chunkSize       rows per chunk for the distributed prefix scan
   *                        (header propagation / sessionization at scale)
+  * @param storageClassCol name of an input column carrying the row's
+  *                        storage tier (STANDARD/GLACIER/DEEP_ARCHIVE) —
+  *                        the S6 Glacier-eligibility surface
+  *                        (s3.rb:155-156); null (default) = every row
+  *                        eligible
+  * @param restoreHeaderCol name of an input column carrying the restore
+  *                        header in the reference's exact format
+  *                        (`ongoing-request="false", expiry-date="..."`,
+  *                        s3.rb:428-444); consulted only for cold rows
+  * @param lineagePath     base directory for the lineage checkpoint. null
+  *                        (default) = `<sinkRoot>/_lineage`. When set,
+  *                        the actual table lives under
+  *                        `<lineagePath>/<checkpointId>` where
+  *                        checkpointId = MD5 of the discovery identity —
+  *                        the reference's `sincedb_path` +
+  *                        `MD5(bucket+prefix)` naming (s3.rb:337-344), so
+  *                        two differently-configured pipelines sharing a
+  *                        sinkRoot advance INDEPENDENT watermarks
+  * @param backupAddPrefix when non-null, every processed batch is also
+  *                        copied to the archive namespace with this
+  *                        prefix stamped onto conv_id — the
+  *                        backup_to_bucket/backup_add_prefix analog
+  *                        (s3.rb:169-183); pair with `archivePrefix` to
+  *                        close the self-exclusion loop
+  * @param deleteAfterProcess record consumed conv-days in a per-batch
+  *                        consumption manifest after a successful commit
+  *                        — the `delete` analog (s3.rb:181-183); our
+  *                        engine never destroys source data, the manifest
+  *                        IS the deletion mark
   */
 case class PipelineConfig(
     inputPath: String,
@@ -74,7 +103,12 @@ case class PipelineConfig(
     jsonFields: Seq[String] = Seq("message", "level"),
     multilinePattern: String = "^\\s+",
     multilineNegate: Boolean = false,
-    multilineWhat: String = "previous")
+    multilineWhat: String = "previous",
+    storageClassCol: String = null,
+    restoreHeaderCol: String = null,
+    lineagePath: String = null,
+    backupAddPrefix: String = null,
+    deleteAfterProcess: Boolean = false)
 
 object Schema {
   import org.apache.spark.sql.types._

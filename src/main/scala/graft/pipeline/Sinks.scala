@@ -73,11 +73,60 @@ object Sinks {
     published
   }
 
+  /** The EXPLICIT archive-write op — the `backup_to_bucket` +
+    * `backup_add_prefix` action (s3.rb:169-183; spec:274-322 asserts the
+    * copy target carries the prefix). The reference copies each processed
+    * object to the backup bucket under `"#{backup_add_prefix}#{key}"`;
+    * our row analog copies the batch's ORIGINAL input columns to the
+    * archive namespace with the prefix stamped onto the object key
+    * (conv_id). Re-ingesting the archive dir with
+    * `PipelineConfig.archivePrefix = addPrefix` closes the S7c
+    * self-exclusion loop: discovery drops the prefixed keys.
+    *
+    * Per-batch dir + overwrite = idempotent under re-runs, same
+    * discipline as the staged sink publish. Returns the archive dir.
+    */
+  def archive(routed: DataFrame, root: String, batchId: String,
+      addPrefix: String): String = {
+    require(addPrefix != null && addPrefix.nonEmpty,
+      "backup_add_prefix must be non-empty: an empty prefix would make " +
+        "archived keys indistinguishable from source keys and defeat " +
+        "the self-exclusion guard (Discover S7c)")
+    val dest = s"$root/archive/batch=$batchId"
+    routed
+      .select(concat(lit(addPrefix), col("conv_id")).as("conv_id"),
+        col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+        col("day"))
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  /** S16 `delete` analog (s3.rb:181-183): after a successful commit, the
+    * batch's consumed (conv_id, day) set is recorded in a per-batch
+    * manifest. Our engine NEVER destroys source data — the manifest IS
+    * the deletion mark, replayable by a janitor that owns the input
+    * (exactly how the reference separates "processed" from the
+    * irreversible delete behind its `delete` flag).
+    */
+  def markConsumed(routed: DataFrame, root: String, batchId: String): String = {
+    val dest = s"$root/_consumed/batch=$batchId"
+    routed.select(col("conv_id"), col("day")).distinct()
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
   /** Read a sink's COMMITTED contents: only batch dirs present in the
     * lineage table (snapshot isolation for readers).
     */
-  def readSink(spark: SparkSession, root: String, sink: String): DataFrame = {
-    val committed = Lineage.committedBatches(spark, root)
+  def readSink(spark: SparkSession, root: String, sink: String): DataFrame =
+    readSink(spark, root, sink, Lineage.path(root))
+
+  /** As [[readSink]], with the lineage table at an explicit location
+    * (configurable `lineagePath` pipelines, Lineage.dirFor).
+    */
+  def readSink(spark: SparkSession, root: String, sink: String,
+      lineageDir: String): DataFrame = {
+    val committed = Lineage.committedBatchesAt(spark, lineageDir)
     val dir = new Path(s"$root/$sink")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches =

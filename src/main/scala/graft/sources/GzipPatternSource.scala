@@ -49,7 +49,8 @@ object GzipPatternSource {
     * possibly custom-named — `gzipPattern`) log files.
     */
   def readAsTurns(spark: SparkSession, pathGlob: String,
-      gzipPattern: String = defaultGzipPattern)
+      gzipPattern: String = defaultGzipPattern,
+      maxBytes: Long = maxDecompressedBytes)
       : Dataset[graft.pipeline.Turn] = {
     import spark.implicits._
     val pat = gzipPattern
@@ -59,33 +60,69 @@ object GzipPatternSource {
       .mapPartitions { it =>
         val p = java.util.regex.Pattern.compile(pat)
         it.flatMap { case (path, mtime, bytes) =>
-          linesOf(path, bytes, p).zipWithIndex.map { case (l, i) =>
+          linesOf(path, bytes, p, maxBytes).zipWithIndex.map { case (l, i) =>
             graft.pipeline.Turn(path, i, "file", l, null, mtime)
           }
         }
       }
   }
 
+  /** Ceiling on DECOMPRESSED bytes per object (256 MiB). The whole
+    * decode is buffered in one task (see the scale note above), so a
+    * gzip-bombed or pathologically large object must be SKIPPED like a
+    * broken file, not allowed to OOM the executor — OutOfMemoryError is
+    * not catchable the way a corrupt-stream IOException is.
+    */
+  val maxDecompressedBytes: Long = 256L * 1024 * 1024
+
+  /** InputStream wrapper that fails the read once `cap` decompressed
+    * bytes have passed through — the failure is an IOException, so the
+    * existing broken-file handler turns the oversized object into an
+    * empty (skipped, reported) file.
+    */
+  private final class CappedInputStream(in: InputStream, cap: Long,
+      path: String) extends java.io.FilterInputStream(in) {
+    private var seen = 0L
+    private def bump(n: Long): Unit = {
+      seen += n
+      if (seen > cap) throw new java.io.IOException(
+        s"decompressed size of $path exceeds cap $cap; skipping object")
+    }
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) bump(1); b
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(buf, off, len); if (n > 0) bump(n); n
+    }
+  }
+
   /** Decode one file's lines (gzip-dispatching, sanitizing, broken-file
-    * -> empty); shared by [[readLines]] and [[readAsTurns]].
+    * -> empty, decompression-bomb -> empty); shared by [[readLines]] and
+    * [[readAsTurns]].
     */
   private def linesOf(path: String, bytes: Array[Byte],
-      pat: java.util.regex.Pattern): Iterator[String] =
+      pat: java.util.regex.Pattern,
+      cap: Long = maxDecompressedBytes): Iterator[String] =
     try {
       val raw: InputStream = new ByteArrayInputStream(bytes)
-      val in =
-        if (pat.matcher(path).find()) new GZIPInputStream(raw)
-        else raw
+      val in = new CappedInputStream(
+        if (pat.matcher(path).find()) new GZIPInputStream(raw) else raw,
+        cap, path)
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
       Iterator.continually(reader.readLine())
         .takeWhile(_ != null).toVector.iterator
     } catch {
-      case _: java.io.IOException => Iterator.empty
+      case e: java.io.IOException =>
+        // the reference logs-and-skips broken objects without crashing
+        // the run (s3.rb:292-301); the skip is REPORTED, never silent
+        System.err.println(s"[gzip_pattern] skipping $path: ${e.getMessage}")
+        Iterator.empty
     }
 
   def readLines(spark: SparkSession, pathGlob: String,
-      gzipPattern: String = defaultGzipPattern): Dataset[FileLine] = {
+      gzipPattern: String = defaultGzipPattern,
+      maxBytes: Long = maxDecompressedBytes): Dataset[FileLine] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content")
@@ -95,7 +132,7 @@ object GzipPatternSource {
         // config regexes at register time (s3.rb:99-128)
         val pat = java.util.regex.Pattern.compile(gzipPattern)
         it.flatMap { case (path, bytes) =>
-          linesOf(path, bytes, pat).zipWithIndex.map { case (l, i) =>
+          linesOf(path, bytes, pat, maxBytes).zipWithIndex.map { case (l, i) =>
             FileLine(path, i, l)
           }
         }

@@ -66,9 +66,14 @@ object Streaming {
     * (the [[StatefulHeaders]] mechanism), kept in plain parquet so a
     * retried/restarted batch recomputes it deterministically.
     *
-    * Validity assumption (same as the reference's serial file read +
-    * oldest-first listing, s3.rb:166): later micro-batches carry later
-    * turn_idx per conversation.
+    * Ordering VALIDITY IS CHECKED, not assumed: the carry records each
+    * conversation's max committed turn_idx, and a batch delivering
+    * turn_idx <= that max (an out-of-order backfill — e.g. an old file
+    * landing late) has those rows QUARANTINED to
+    * `stream/_violations/batch=N` before the pipeline runs, never
+    * silently stamped with a header/session context that postdates them.
+    * The reference gets the same guarantee from its serial oldest-first
+    * listing (s3.rb:166); a parallel engine has to enforce it.
     */
   object Carry {
     import org.apache.spark.sql.types._
@@ -77,7 +82,8 @@ object Streaming {
       StructField("conv_id", StringType),
       StructField("carry_header", StringType),
       StructField("carry_fields", StringType),
-      StructField("carry_sessions", LongType)))
+      StructField("carry_sessions", LongType),
+      StructField("carry_max_idx", IntegerType)))
 
     def dir(sinkRoot: String): String = s"$sinkRoot/stream/_carry"
 
@@ -146,8 +152,25 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
-        val turns = batch.as[Turn]
         val prev = Carry.read(sess, sinkRoot, batchId)
+        // ordering guard: rows at or below a conversation's committed
+        // max turn_idx are out-of-order backfill — quarantine them RAW
+        // (their true header/session context predates the carry state;
+        // stamping them with the current carry would be silently wrong)
+        val isLate = coalesce(col("turn_idx") <= col("carry_max_idx"),
+          lit(false))
+        val flagged = batch.join(
+          prev.select(col("conv_id"), col("carry_max_idx")),
+          Seq("conv_id"), "left")
+        val lateRaw = flagged.filter(isLate).drop("carry_max_idx")
+        val nLate = lateRaw.count()
+        if (nLate > 0) {
+          System.err.println(s"[stream] batch=$batchId: $nLate out-of-order " +
+            s"backfill rows quarantined to stream/_violations/batch=$batchId")
+          lateRaw.write.mode("overwrite")
+            .parquet(s"$sinkRoot/stream/_violations/batch=$batchId")
+        }
+        val turns = flagged.filter(!isLate).drop("carry_max_idx").as[Turn]
         val routed = Pipeline(turns, excludePattern)
         // apply carry-in: headers stick across batches; session ids
         // continue from the running record-start count. Both sides hash
@@ -161,7 +184,8 @@ object Streaming {
             coalesce(col("header_fields_carried"), col("carry_fields")))
           .withColumn("session_id",
             col("session_id") + coalesce(col("carry_sessions"), lit(0L)))
-          .drop("carry_header", "carry_fields", "carry_sessions")
+          .drop("carry_header", "carry_fields", "carry_sessions",
+            "carry_max_idx")
           .cache()
         // per-batch dir + overwrite => a retried micro-batch republishes
         // the same directory idempotently (no duplicate rows), the same
@@ -179,7 +203,10 @@ object Streaming {
             max_by(col("header"), col("turn_idx")).as("carry_header"),
             max_by(col("header_fields_carried"), col("turn_idx"))
               .as("carry_fields"),
-            max_by(col("session_id"), col("turn_idx")).as("carry_sessions"))
+            max_by(col("session_id"), col("turn_idx")).as("carry_sessions"),
+            // the ordering guard's reference point: only in-order rows
+            // reach here, so this max strictly advances per conversation
+            max(col("turn_idx")).as("carry_max_idx"))
         val merged = prev.join(batchCarry, Seq("conv_id"), "left_anti")
           .unionByName(batchCarry)
         Carry.write(merged, sinkRoot, batchId)

@@ -77,6 +77,37 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("gzip bomb guard: an object exceeding the decompressed-bytes cap " +
+      "is skipped like a broken file, others still read") {
+    import graft.sources.GzipPatternSource
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "gzbomb").toString
+    // ~1 MB of zeros compresses to ~1 KB — over a 64 KB cap it must be
+    // skipped; OOM is not an acceptable failure mode for one bad object
+    val bomb = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/bomb.log.gz"))
+    val line = ("x" * 255 + "\n").getBytes("UTF-8")
+    (0 until 4096).foreach(_ => bomb.write(line))
+    bomb.close()
+    val small = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/small.log.gz"))
+    small.write("tiny one\ntiny two\n".getBytes("UTF-8"))
+    small.close()
+
+    val capped = GzipPatternSource.readLines(spark, s"$dir/*",
+      maxBytes = 64L * 1024).cache()
+    assert(capped.filter($"path".endsWith("bomb.log.gz")).count() == 0,
+      "oversized object skipped, job alive")
+    assert(capped.filter($"path".endsWith("small.log.gz")).count() == 2,
+      "well-sized neighbors unaffected")
+    // with the default cap the same file reads fine (the cap is a guard,
+    // not a truncation)
+    val uncapped = GzipPatternSource.readLines(spark, s"$dir/bomb.log.gz")
+    assert(uncapped.count() == 4096)
+    capped.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("raw log files -> pipeline ('generated events' shared example analog, " +
       "spec:325-339): one event per line, source key in metadata, gzip transparent") {
     import graft.sources.GzipPatternSource
@@ -292,6 +323,15 @@ class OpsSpec extends AnyFunSuite {
     val bb = java.nio.ByteBuffer.wrap(resized)
     assert(bb.getInt() == 0x4D454449 && bb.getInt() == 32 && bb.getInt() == 24)
     assert(resized.drop(16).sameElements(payload.drop(16)), "body untouched")
+
+    // overflow guard: ids large enough that id * 2654435761 wraps Long
+    // negative must still produce the true mathematical body length
+    // (floorMod; Java % would throw NegativeArraySizeException here)
+    val bigId = 4000000000L
+    assert(bigId * 2654435761L < 0, "test id must exercise the wrap")
+    val big = Multimodal.synthPayload(bigId, "image", 1, 1, 0)
+    assert(big.length == 16 + 256 +
+      Math.floorMod(bigId * 2654435761L, 1024L).toInt)
 
     val plan = Multimodal.frameSamplePlan(media.toDF(), everyMs = 1000)
     val perVideo = plan.groupBy($"media_id").count()

@@ -463,7 +463,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     more.write.mode("append").partitionBy("day").parquet(inputPath)
 
     // partial run: staged write + publish, NO lineage commit (the crash)
-    val batchId = Lineage.batchId(asOf3, wms)
+    val batchId = Lineage.batchId(asOf3, wms, Lineage.checkpointId(cfg))
     val delta = Discover.delta(spark, cfg, asOf3, wms)
     val routed = Route(Enrich(Parse(delta.as[Turn], cfg.chunkSize)),
       cfg.excludePattern)
@@ -675,5 +675,239 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mystery.count() > 0)
     assert(mystery.filter($"tool_category".isNotNull).count() == 0)
     assert(enriched.filter($"actor_class".isNull).count() == 0)
+  }
+
+  test("S6 Glacier eligibility as a pipeline discovery predicate " +
+      "(file_restored? analog, s3.rb:155-156, 428-444)") {
+    val inputPath = s"$scratch/s6_in"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val asOf = new Timestamp(Synth.baseEpochMs + 86400000L) // +1 day
+    def hdr(ongoing: String, expiry: String) =
+      s"""ongoing-request="$ongoing", expiry-date="$expiry""""
+    val future = "2026-12-31 00:00:00"
+    val past = "2020-01-01 00:00:00"
+    val rows = Seq(
+      // (conv, storage_class, restore header, expected-eligible)
+      ("warm", "STANDARD", null, true),
+      ("warm-null-class", null, null, true),
+      ("cold-unrestored", "GLACIER", null, false),
+      ("cold-inflight", "GLACIER", hdr("true", future), false),
+      ("cold-restored", "GLACIER", hdr("false", future), true),
+      ("cold-expired", "GLACIER", hdr("false", past), false),
+      ("deep-unrestored", "DEEP_ARCHIVE", null, false),
+      ("deep-restored", "DEEP_ARCHIVE", hdr("false", future), true))
+    rows.zipWithIndex.map { case ((c, sc, rh, _), i) =>
+      (c, i, "user", s"2025-01-01T00:00:0${i % 10}Z INFO [user] line $i",
+        null: String, ts0, sc, rh, "2025-01-01")
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "storage_class", "restore_hdr", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(inputPath)
+
+    val cfg = PipelineConfig(inputPath, s"$scratch/s6_sinks",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr")
+    val got = Discover.delta(spark, cfg, asOf, Map.empty)
+      .select($"conv_id").collect().map(_.getString(0)).toSet
+    val want = rows.filter(_._4).map(_._1).toSet
+    assert(got == want, s"eligible set mismatch: got=$got want=$want")
+
+    // no storage-class config -> every row eligible (the default path)
+    val cfgOff = cfg.copy(storageClassCol = null, restoreHeaderCol = null)
+    assert(Discover.delta(spark, cfgOff, asOf, Map.empty).count() ==
+      rows.size)
+
+    // storage class configured but no restore-header column: cold rows
+    // are NEVER eligible (no restore metadata to consult)
+    val cfgNoHdr = cfg.copy(restoreHeaderCol = null)
+    val gotNoHdr = Discover.delta(spark, cfgNoHdr, asOf, Map.empty)
+      .select($"conv_id").collect().map(_.getString(0)).toSet
+    assert(gotNoHdr == rows.filter(r => r._2 == null || r._2 == "STANDARD")
+      .map(_._1).toSet)
+  }
+
+  test("explicit archive op: backup prefix stamped, self-exclusion closes " +
+      "the loop, delete mark iff configured (spec:274-322 analog)") {
+    val inputPath = s"$scratch/bk_in"
+    val sinkRoot = s"$scratch/bk_sinks"
+    val n = Synth.writeTable(spark, inputPath, seed, 6L)
+    val cfg = PipelineConfig(inputPath, sinkRoot,
+      backupAddPrefix = "backup/", archivePrefix = "backup/",
+      deleteAfterProcess = true)
+    val r = Main.runCycle(spark, cfg, farFuture)
+    assert(r.rowsProcessed == n)
+
+    // every archived row carries the prefix; payload columns unchanged
+    val archived = spark.read.parquet(s"$sinkRoot/archive/batch=${r.batchId}")
+    assert(archived.count() == n)
+    assert(archived.filter(!$"conv_id".startsWith("backup/")).count() == 0,
+      "backup_add_prefix applied to every archived key")
+    val src = spark.read.parquet(inputPath)
+      .select($"conv_id", $"turn_idx", $"text")
+    val back = archived.select(
+      expr("substring(conv_id, 8)").as("conv_id"), $"turn_idx", $"text")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "archive is a faithful copy modulo the key prefix")
+
+    // delete-iff-configured: the consumption manifest exists and covers
+    // exactly the processed conversations
+    val consumed = spark.read.parquet(s"$sinkRoot/_consumed/batch=${r.batchId}")
+    assert(consumed.select($"conv_id").distinct().count() ==
+      src.select($"conv_id").distinct().count())
+
+    // self-exclusion end-to-end: re-ingesting the archive namespace with
+    // the same pipeline config discovers NOTHING (S7c guard on the
+    // stamped prefix) — the reference's backup bucket==source bucket
+    // warning, made structural
+    val reCfg = cfg.copy(inputPath = s"$sinkRoot/archive/batch=${r.batchId}")
+    assert(Discover.delta(spark, reCfg, farFuture, Map.empty).count() == 0,
+      "archived keys must never be re-discovered")
+
+    // no delete flag -> no manifest
+    val cfg2 = PipelineConfig(inputPath, s"$scratch/bk_sinks2",
+      backupAddPrefix = "backup/")
+    val r2 = Main.runCycle(spark, cfg2, farFuture)
+    assert(!new java.io.File(s"$scratch/bk_sinks2/_consumed").exists())
+    assert(new java.io.File(
+      s"$scratch/bk_sinks2/archive/batch=${r2.batchId}").exists())
+  }
+
+  test("lineage keyed by checkpoint identity: two configs sharing a " +
+      "sinkRoot advance INDEPENDENT watermarks (sincedb_path + " +
+      "MD5(bucket+prefix) analog, s3.rb:337-344)") {
+    val inputA = s"$scratch/li_a"
+    val inputB = s"$scratch/li_b"
+    val sinkRoot = s"$scratch/li_sinks"
+    val lin = s"$scratch/li_lineages"
+    val nA = Synth.writeTable(spark, inputA, seed, 4L)
+    val nB = Synth.writeTable(spark, inputB, seed + 1, 3L)
+    val cfgA = PipelineConfig(inputA, sinkRoot, lineagePath = lin)
+    val cfgB = PipelineConfig(inputB, sinkRoot, lineagePath = lin)
+
+    val idA = Lineage.checkpointId(cfgA)
+    val idB = Lineage.checkpointId(cfgB)
+    assert(idA.matches("^[0-9a-f]{32}$") && idB.matches("^[0-9a-f]{32}$"))
+    assert(idA != idB, "different discovery identities, different keys")
+
+    val rA = Main.runCycle(spark, cfgA, farFuture)
+    assert(rA.rowsProcessed == nA)
+    assert(Lineage.watermarksAt(spark, Lineage.dirFor(cfgA)).nonEmpty)
+    assert(Lineage.watermarksAt(spark, Lineage.dirFor(cfgB)).isEmpty,
+      "pipeline B's watermark must not move when A commits")
+    assert(Lineage.watermarks(spark, sinkRoot).isEmpty,
+      "default-location lineage untouched when lineagePath is set")
+
+    // B processes its own input in full despite sharing the sinkRoot
+    val rB = Main.runCycle(spark, cfgB, farFuture)
+    assert(rB.rowsProcessed == nB)
+    assert(rB.batchId != rA.batchId,
+      "batch ids disjoint across checkpoint identities")
+
+    // both re-runs are no-ops against their OWN watermark
+    assert(Main.runCycle(spark, cfgA, farFuture).rowsProcessed == 0L)
+    assert(Main.runCycle(spark, cfgB, farFuture).rowsProcessed == 0L)
+
+    // committed readers scoped by lineage location see exactly their
+    // pipeline's rows
+    val visA = Route.sinkNames.map(s =>
+      Sinks.readSink(spark, sinkRoot, s, Lineage.dirFor(cfgA)).count()).sum
+    val visB = Route.sinkNames.map(s =>
+      Sinks.readSink(spark, sinkRoot, s, Lineage.dirFor(cfgB)).count()).sum
+    assert(visA == nA && visB == nB)
+  }
+
+  test("committed-day pruning: a day whose watermark reached end-of-day " +
+      "is never LISTED, and the delta is unchanged (prefix discipline, " +
+      "s3.rb:144)") {
+    val inputPath = s"$scratch/cd_in"
+    // two explicit day partitions (small-conv Synth stays inside one day)
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    val rows = (0 until 6).map { i =>
+      val day = if (i < 3) "2025-03-01" else "2025-03-02"
+      ("cd-conv-" + i, 0, "user",
+        s"2025-03-01T00:00:0${i}Z INFO [user] row $i", null: String,
+        at(s"${day}T0$i:00:00Z"), day)
+    }
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(inputPath)
+    val days = Seq("2025-03-01", "2025-03-02")
+    val done = days.head
+    val endOfDay = Timestamp.from(java.time.LocalDate.parse(done)
+      .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.minusNanos(1000L))
+    val wms = Map(done -> endOfDay)
+    assert(Discover.completedDays(wms) == Set(done))
+    // a mid-day watermark does NOT complete the day
+    val midDay = new Timestamp(endOfDay.getTime - 3600L * 1000L)
+    assert(Discover.completedDays(Map(done -> midDay)).isEmpty)
+
+    val all = Discover.listInputFiles(spark, inputPath)
+    val pruned = Discover.listInputFiles(spark, inputPath, Set(done))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(!pruned.exists(_.contains(s"day=$done")),
+      "completed day must not appear in the listing")
+    assert(all.filterNot(_.contains(s"day=$done")) == pruned,
+      "pruning removes exactly the completed day's files")
+
+    // delta semantics unchanged: with the end-of-day watermark, the
+    // delta is every OTHER day's rows (pruned listing == filtered scan)
+    val cfg = PipelineConfig(inputPath, s"$scratch/cd_sinks")
+    val delta = Discover.delta(spark, cfg, farFuture, wms)
+    val expected = spark.read.parquet(inputPath)
+      .filter($"day" =!= done).count()
+    assert(delta.count() == expected)
+    assert(delta.filter($"day" === done).count() == 0)
+  }
+
+  test("listInputFiles: relative input path resolves like the absolute one " +
+      "(qualification guard — ancestor dirs are not hidden-checked)") {
+    val absolute = s"$scratch/rel_in"
+    Synth.writeTable(spark, absolute, seed, 3L)
+    val relative = absolute.stripPrefix(
+      new java.io.File(".").getCanonicalPath + "/")
+    assert(!relative.startsWith("/"), s"test needs a relative path, got $relative")
+    val viaAbs = Discover.listInputFiles(spark, absolute)
+    val viaRel = Discover.listInputFiles(spark, relative)
+    assert(viaAbs.nonEmpty)
+    assert(viaRel.map(_.split("/rel_in/").last) ==
+      viaAbs.map(_.split("/rel_in/").last),
+      "relative path must list the same files")
+  }
+
+  test("json codec: the bare document `null` is VALID json (json_valid " +
+      "semantics), not dead-letter; garbage still is") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fields = StructType(Seq(StructField("message", StringType)))
+    val df = Seq(
+      ("a", "null"), ("b", "  null  "), ("c", "nul"), ("d", "NULL"),
+      ("e", """{"message":"hi"}"""), ("f", "{broken")
+    ).toDF("id", "text")
+    val ok = Parse.parseJsonColumns(df, fields)
+      .select($"id", $"json_ok").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ok == Map("a" -> true, "b" -> true, "c" -> false,
+      "d" -> false, "e" -> true, "f" -> false))
+  }
+
+  test("routing precedence: metadata role authoritative for transcript " +
+      "rows; parsed grok_role only for placeholder roles (spoof guard)") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val spoof = "2025-01-01T00:00:00Z INFO [system] user-authored text"
+    val rows = Seq(
+      // transcript row: role column wins even when content parses as a
+      // DIFFERENT bracketed role
+      Turn("t1", 0, "user", spoof, null, ts0),
+      // raw-file ingest sentinel: content role is all there is
+      Turn("t2", 0, "file", spoof, null, ts0),
+      // null role: content role applies
+      Turn("t3", 0, null, spoof, null, ts0),
+      // placeholder role with unparseable content -> deadletter (not a
+      // role sink)
+      Turn("t4", 0, "file", "not a grok line", null, ts0))
+    val routed = Route(Parse.parseColumns(rows.toDS().toDF()))
+    val sinks = routed.select($"conv_id", $"sink").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sinks("t1") == "user", "content must not spoof transcript routing")
+    assert(sinks("t2") == "system", "raw-file ingest routes on parsed role")
+    assert(sinks("t3") == "system", "null role falls back to parsed role")
+    assert(sinks("t4") == "deadletter")
   }
 }

@@ -223,6 +223,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs <= 3)
   }
 
+  test("out-of-order backfill is quarantined, not silently mis-stamped " +
+      "(carry ordering guard)") {
+    val input = s"$scratch/oo_input"
+    val sinkRoot = s"$scratch/oo_sinks"
+    val ckpt = s"$scratch/oo_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // file A: header + turns 0-3 of conv `oo` (committed first);
+    // file B: a BACKFILLED old row (turn 1 again, different text casing
+    // to make mis-processing visible) + genuinely-new turns 4-5
+    val fileA = Seq(
+      Turn("oo", 0, "system", "#Version: 7.7", null, ts0),
+      Turn("oo", 1, "user", "2025-01-01T00:00:01Z INFO [user] one", null, ts0),
+      Turn("oo", 2, "user", "2025-01-01T00:00:02Z INFO [user] two", null, ts0),
+      Turn("oo", 3, "user", "    continuation of two", null, ts0))
+    val backfill =
+      Turn("oo", 1, "user", "2025-01-01T00:00:01Z WARN [user] OLD BACKFILL", null, ts0)
+    val fileB = Seq(
+      backfill,
+      Turn("oo", 4, "assistant", "2025-01-01T00:00:04Z INFO [assistant] four", null, ts0),
+      Turn("oo", 5, "user", "2025-01-01T00:00:05Z INFO [user] five", null, ts0))
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    val q = Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    val out = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream")
+    // the backfilled row is NOT in the main output...
+    assert(out.filter($"text".contains("OLD BACKFILL")).count() == 0,
+      "backfill must not be stamped with post-dated carry state")
+    assert(out.count() == fileA.size + fileB.size - 1)
+    // ...it is quarantined, intact, in the violations namespace
+    val vioDir = new java.io.File(s"$sinkRoot/stream/_violations")
+    assert(vioDir.exists(), "violations dir must exist")
+    val vio = spark.read.parquet(
+      vioDir.listFiles().filter(_.getName.startsWith("batch=")).head.toString)
+    assert(vio.count() == 1)
+    val v = vio.head()
+    assert(v.getAs[String]("text").contains("OLD BACKFILL"))
+    assert(v.getAs[String]("conv_id") == "oo" && v.getAs[Int]("turn_idx") == 1)
+    // in-order rows still carry correct cross-batch state
+    val rows = out.select($"turn_idx", $"header").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(4) == "7.7" && rows(5) == "7.7",
+      "new rows keep the carried header")
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
