@@ -143,9 +143,13 @@ object Discover {
     * both in SQL). No storage-class column configured -> every row
     * eligible (the reference's non-Glacier default path).
     *
-    * Pure literal/column predicate, so it joins the cutoff inside the
-    * scan's pushed filters: at 100 TB the cold partitions never leave
-    * the parquet reader.
+    * Pure column predicate, narrow and codegen'd: ineligible rows drop
+    * in the Filter fused directly onto the scan, before any shuffle or
+    * join. (The regexp leg keeps the disjunction out of parquet
+    * ROW-GROUP stats — only the simple storage-class comparisons could
+    * push that far — so at 100 TB the real win is storing cold rows in
+    * their own partitions, which the day/prefix pruning then skips
+    * wholesale; this predicate is the correctness backstop.)
     */
   def storageEligiblePredicate(cfg: PipelineConfig, asOf: Timestamp): Column =
     if (cfg.storageClassCol == null || cfg.storageClassCol.isEmpty) lit(true)
@@ -185,7 +189,8 @@ object Discover {
     // storage-eligibility columns (S6) ride along in the read schema
     // only when configured — the base Turn table doesn't carry them
     val schema = Seq(Option(cfg.storageClassCol), Option(cfg.restoreHeaderCol))
-      .flatten.foldLeft(Schema.turnSchema)(_.add(_, StringType))
+      .flatten.filter(_.nonEmpty) // "" means disabled, same as the predicate
+      .foldLeft(Schema.turnSchema)(_.add(_, StringType))
       .add("day", StringType)
     val files = listInputFiles(spark, cfg.inputPath, completedDays(wms))
     val input =
