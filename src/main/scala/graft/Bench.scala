@@ -118,7 +118,7 @@ object ScalingBench {
     // machine-readable artifact of the BASELINE.json >=0.8 gate — the
     // prose claim in BENCH.md is backed by a committed JSON per round
     val out = args.lift(3).orElse(sys.env.get("SPARK_GRAFT_SCALING_OUT"))
-      .getOrElse("/root/repo/SCALING.json")
+      .getOrElse("SCALING.json") // cwd-relative, like the repo's artifacts
     val w = new java.io.PrintWriter(new java.io.File(out))
     try w.println(json) finally w.close()
   }

@@ -150,6 +150,16 @@ object Discover {
     * push that far — so at 100 TB the real win is storing cold rows in
     * their own partitions, which the day/prefix pruning then skips
     * wholesale; this predicate is the correctness backstop.)
+    *
+    * Watermark interaction — faithful to the reference, with a better
+    * escape hatch: in the reference, a skipped unrestored object whose
+    * mtime falls behind the advancing sincedb is NEVER retried once its
+    * restore completes (s3.rb:152-156 — the skip happens while later
+    * objects advance sincedb). Ours advances the per-day watermark the
+    * same way, but `runCycle` additionally records every skipped-cold
+    * row in a per-batch `_deferred` manifest ([[Sinks]] namespace), so
+    * nothing is silently lost: the manifest is the re-drive queue for
+    * an operator-run backfill once restores complete.
     */
   def storageEligiblePredicate(cfg: PipelineConfig, asOf: Timestamp): Column =
     if (cfg.storageClassCol == null || cfg.storageClassCol.isEmpty) lit(true)
@@ -183,7 +193,24 @@ object Discover {
     * identical (tested), just not scan-pushable.
     */
   def delta(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
-      wms: Map[String, Timestamp]): DataFrame = {
+      wms: Map[String, Timestamp]): DataFrame =
+    baseDelta(spark, cfg, asOf, wms)
+      .filter(coalesce(storageEligiblePredicate(cfg, asOf), lit(false)))
+
+  /** The skipped-cold complement of [[delta]]: rows excluded ONLY by the
+    * S6 eligibility predicate (a malformed restore header counts as
+    * ineligible on a cold row). Empty by construction when S6 is not
+    * configured. `runCycle` persists this per batch so a row the
+    * reference would lose forever (skip while sincedb advances,
+    * s3.rb:152-156) stays re-drivable after its restore completes.
+    */
+  def deferredCold(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
+      wms: Map[String, Timestamp]): DataFrame =
+    baseDelta(spark, cfg, asOf, wms)
+      .filter(!coalesce(storageEligiblePredicate(cfg, asOf), lit(false)))
+
+  private def baseDelta(spark: SparkSession, cfg: PipelineConfig,
+      asOf: Timestamp, wms: Map[String, Timestamp]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.StringType
     // storage-eligibility columns (S6) ride along in the read schema
@@ -215,7 +242,6 @@ object Discover {
 
     val guarded = watermarked
       .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
-      .filter(storageEligiblePredicate(cfg, asOf)) // S6 Glacier eligibility
       .filter(length(col("text")) > 0) // S3 zero-length skip
     // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
     // archive namespace (conv_id carrying the archive prefix) are never

@@ -32,13 +32,18 @@ object Lineage {
   /** Checkpoint IDENTITY: MD5 of the discovery-shaping config — the
     * reference keys its sincedb file by `MD5(bucket+prefix)` so two
     * plugin instances watching different prefixes never share (and
-    * cross-advance) a watermark (s3.rb:337-344). Ours hashes the fields
-    * that determine WHICH rows a pipeline discovers: input path, exclude
-    * pattern, archive prefix.
+    * cross-advance) a watermark (s3.rb:337-344). Ours hashes exactly the
+    * fields that determine WHICH rows a pipeline discovers: input path,
+    * archive prefix (S7c), and the S6 storage-eligibility columns.
+    * Routing-only config (excludePattern, codec) is deliberately
+    * EXCLUDED: it changes where rows go, not whether they are consumed,
+    * so changing it must not orphan the existing watermark.
     */
   def checkpointId(cfg: PipelineConfig): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val ident = s"${cfg.inputPath}|${cfg.excludePattern}|${cfg.archivePrefix}"
+    val ident = Seq(cfg.inputPath, cfg.archivePrefix,
+      cfg.storageClassCol, cfg.restoreHeaderCol).map(String.valueOf)
+      .mkString("|")
     md.digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 

@@ -53,8 +53,43 @@ object Main {
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
     val total = newWms.map(_._3).sum
+
+    // day-sealing policy (opt-in): once a day is `sealDaysGraceSeconds`
+    // past its end at the injected clock, round its committed watermark
+    // up to end-of-day. Sealed days drop out of the driver LISTING
+    // entirely (Discover.completedDays) — the server-side-prefix
+    // discipline at 100x file counts. Trade-off (documented): rows
+    // backfilled into a sealed day with ts inside it are skipped by the
+    // watermark, exactly like the reference skips objects behind sincedb.
+    def endOfDay(d: String): Option[Timestamp] =
+      if (cfg.sealDaysGraceSeconds < 0 || d == null) None
+      else try {
+        val end = java.time.LocalDate.parse(d).plusDays(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        if (!asOf.toInstant.isBefore(end.plusSeconds(cfg.sealDaysGraceSeconds)))
+          Some(Timestamp.from(end.minusNanos(1000L))) // µs precision
+        else None
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    def sealed_(d: String, mx: Timestamp): Timestamp =
+      endOfDay(d).filter(_.after(mx)).getOrElse(mx)
+    // retroactive seals: days committed in EARLIER cycles whose grace
+    // has now elapsed get a zero-row seal commit, so they stop being
+    // listed even when no new data arrives
+    val now = new Timestamp(System.currentTimeMillis())
+    val sealCommits = wms.toSeq.collect {
+      case (d, wm) if endOfDay(d).exists(_.after(wm)) =>
+        Lineage.Commit(batchId, d, endOfDay(d).get, 0L, now)
+    }
+
     if (total == 0L) {
       routed.unpersist()
+      // progress without data: sealing-only commit (no publish happened
+      // under this batchId, so the id's presence in lineage is inert for
+      // sink readers)
+      if (sealCommits.nonEmpty) {
+        Lineage.commitAt(spark, lineageDir, sealCommits)
+        Lineage.compactAt(spark, lineageDir)
+      }
       return CycleResult(batchId, 0L, Seq.empty)
     }
 
@@ -67,12 +102,20 @@ object Main {
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
       Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
+    // S6: persist the skipped-cold complement so a row whose restore
+    // completes after the watermark has passed it is re-drivable (the
+    // reference silently loses it, s3.rb:152-156). One extra pushed-
+    // filter scan per cycle, paid only when storage columns are
+    // configured.
+    if (cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty)
+      Sinks.writeDeferred(Discover.deferredCold(spark, cfg, asOf, wms),
+        cfg.sinkRoot, batchId)
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
-    val now = new Timestamp(System.currentTimeMillis())
+    val newDays = newWms.map(_._1).toSet
     Lineage.commitAt(spark, lineageDir,
       newWms.map { case (d, mx, n) =>
-        Lineage.Commit(batchId, d, mx, n, now)
-      }.toSeq)
+        Lineage.Commit(batchId, d, sealed_(d, mx), n, now)
+      }.toSeq ++ sealCommits.filterNot(c => newDays.contains(c.day)))
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
@@ -122,7 +165,8 @@ object Main {
       lineagePath = opts.getOrElse("lineage-path", null),
       backupAddPrefix = opts.getOrElse("backup-add-prefix", null),
       deleteAfterProcess = opts.get("delete-after-process")
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      sealDaysGraceSeconds = opts.getOrElse("seal-days-grace", "-1").toInt)
     val res = runCycle(spark, cfg, asOf)
     println(s"""{"batch_id":"${res.batchId}","rows":${res.rowsProcessed},""" +
       s""""sinks":[${res.publishedSinks.map("\"" + _ + "\"").mkString(",")}]}""")

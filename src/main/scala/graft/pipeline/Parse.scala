@@ -246,9 +246,11 @@ object Parse {
     // (json_valid('null') = true, the semantics the q24 oracle uses) but
     // get_json_object returns SQL NULL for it — special-cased so it is
     // not dead-lettered.
+    // JSON whitespace is exactly space/tab/CR/LF (not Java's \s, which
+    // adds \x0B\f and would diverge from json_valid on those bytes)
     val withOk = parsed.withColumn("json_ok",
       get_json_object(col(textCol), "$").isNotNull ||
-        trim(col(textCol)) === "null")
+        col(textCol).rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$"))
     val promoted = fields.fields.foldLeft(withOk) { (acc, f) =>
       if (f.name == "message")
         acc.withColumn("json_message",

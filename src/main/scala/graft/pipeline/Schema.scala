@@ -88,6 +88,15 @@ case class EnrichedTurn(
   *                        — the `delete` analog (s3.rb:181-183); our
   *                        engine never destroys source data, the manifest
   *                        IS the deletion mark
+  * @param sealDaysGraceSeconds opt-in day-sealing: once the injected
+  *                        clock is this far past a day's end, its
+  *                        committed watermark is rounded up to
+  *                        end-of-day, so the whole partition drops out
+  *                        of the driver LISTING (Discover.completedDays;
+  *                        the server-side-prefix discipline, s3.rb:144).
+  *                        -1 (default) disables. Trade-off: backfills
+  *                        into a sealed day are watermark-skipped, as
+  *                        the reference skips objects behind sincedb
   */
 case class PipelineConfig(
     inputPath: String,
@@ -108,7 +117,8 @@ case class PipelineConfig(
     restoreHeaderCol: String = null,
     lineagePath: String = null,
     backupAddPrefix: String = null,
-    deleteAfterProcess: Boolean = false)
+    deleteAfterProcess: Boolean = false,
+    sealDaysGraceSeconds: Int = -1)
 
 object Schema {
   import org.apache.spark.sql.types._

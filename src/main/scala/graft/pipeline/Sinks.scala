@@ -101,6 +101,19 @@ object Sinks {
     dest
   }
 
+  /** Per-batch manifest of skipped-cold rows (S6): the reference loses
+    * an unrestored object forever once sincedb passes its mtime
+    * (s3.rb:152-156); we advance the watermark identically but keep the
+    * skipped rows re-drivable. Idempotent per-batch overwrite; schema =
+    * full input row incl. the storage columns, so a backfill pipeline
+    * can re-evaluate eligibility directly from the manifest.
+    */
+  def writeDeferred(deferred: DataFrame, root: String, batchId: String): String = {
+    val dest = s"$root/_deferred/batch=$batchId"
+    deferred.write.mode("overwrite").parquet(dest)
+    dest
+  }
+
   /** S16 `delete` analog (s3.rb:181-183): after a successful commit, the
     * batch's consumed (conv_id, day) set is recorded in a per-batch
     * manifest. Our engine NEVER destroys source data — the manifest IS

@@ -105,9 +105,14 @@ object GzipPatternSource {
       cap: Long = maxDecompressedBytes): Iterator[String] =
     try {
       val raw: InputStream = new ByteArrayInputStream(bytes)
-      val in = new CappedInputStream(
-        if (pat.matcher(path).find()) new GZIPInputStream(raw) else raw,
-        cap, path)
+      // the cap guards gzip EXPANSION only: a plain file's bytes are
+      // already fully materialized by binaryFile, so capping them would
+      // not prevent any allocation — it would only make large plain
+      // files silently vanish
+      val in =
+        if (pat.matcher(path).find())
+          new CappedInputStream(new GZIPInputStream(raw), cap, path)
+        else raw
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
       Iterator.continually(reader.readLine())

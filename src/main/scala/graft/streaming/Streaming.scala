@@ -159,9 +159,12 @@ object Streaming {
         // stamping them with the current carry would be silently wrong)
         val isLate = coalesce(col("turn_idx") <= col("carry_max_idx"),
           lit(false))
+        // cached: the count, the quarantine write, and the main path all
+        // consume this join — without the cache each would re-read the
+        // batch's source files
         val flagged = batch.join(
           prev.select(col("conv_id"), col("carry_max_idx")),
-          Seq("conv_id"), "left")
+          Seq("conv_id"), "left").cache()
         val lateRaw = flagged.filter(isLate).drop("carry_max_idx")
         val nLate = lateRaw.count()
         if (nLate > 0) {
@@ -211,6 +214,7 @@ object Streaming {
           .unionByName(batchCarry)
         Carry.write(merged, sinkRoot, batchId)
         adjusted.unpersist()
+        flagged.unpersist()
         ()
       }
       .start()

@@ -878,13 +878,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fields = StructType(Seq(StructField("message", StringType)))
     val df = Seq(
       ("a", "null"), ("b", "  null  "), ("c", "nul"), ("d", "NULL"),
-      ("e", """{"message":"hi"}"""), ("f", "{broken")
+      ("e", """{"message":"hi"}"""), ("f", "{broken"),
+      ("g", "\tnull\r"), // tab/CR are JSON whitespace -> valid
+      ("h", "\u000Bnull") // vertical tab is NOT JSON whitespace
     ).toDF("id", "text")
     val ok = Parse.parseJsonColumns(df, fields)
       .select($"id", $"json_ok").collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(ok == Map("a" -> true, "b" -> true, "c" -> false,
-      "d" -> false, "e" -> true, "f" -> false))
+      "d" -> false, "e" -> true, "f" -> false, "g" -> true, "h" -> false))
   }
 
   test("routing precedence: metadata role authoritative for transcript " +
@@ -909,5 +911,89 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinks("t2") == "system", "raw-file ingest routes on parsed role")
     assert(sinks("t3") == "system", "null role falls back to parsed role")
     assert(sinks("t4") == "deadletter")
+  }
+
+  test("skipped-cold rows land in the per-batch _deferred manifest — " +
+      "nothing silently lost past the watermark (improves on s3.rb:152-156)") {
+    val inputPath = s"$scratch/def_in"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val asOf = new Timestamp(Synth.baseEpochMs + 86400000L)
+    def hdr(ongoing: String, expiry: String) =
+      s"""ongoing-request="$ongoing", expiry-date="$expiry""""
+    val rows = Seq(
+      ("w1", "STANDARD", null: String, true),
+      ("w2", null: String, null: String, true),
+      ("c1", "GLACIER", null: String, false),
+      ("c2", "GLACIER", hdr("true", "2026-12-31 00:00:00"), false),
+      ("c3", "GLACIER", hdr("false", "2026-12-31 00:00:00"), true),
+      ("c4", "DEEP_ARCHIVE", hdr("false", "2020-01-01 00:00:00"), false))
+    rows.zipWithIndex.map { case ((c, sc, rh, _), i) =>
+      (c, 0, "user", s"2025-01-01T00:00:0${i}Z INFO [user] r$i",
+        null: String, ts0, sc, rh, "2025-01-01")
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "storage_class", "restore_hdr", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(inputPath)
+
+    val cfg = PipelineConfig(inputPath, s"$scratch/def_sinks",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr")
+    val r = Main.runCycle(spark, cfg, asOf)
+    assert(r.rowsProcessed == rows.count(_._4))
+    val deferred = spark.read
+      .parquet(s"${cfg.sinkRoot}/_deferred/batch=${r.batchId}")
+    assert(deferred.select($"conv_id").collect().map(_.getString(0)).toSet ==
+      rows.filterNot(_._4).map(_._1).toSet,
+      "the manifest holds exactly the ineligible rows")
+    // manifest keeps the storage columns for eligibility re-evaluation
+    assert(Seq("storage_class", "restore_hdr", "text", "ts")
+      .forall(deferred.columns.contains))
+    // without S6 config no manifest is written
+    val cfg2 = cfg.copy(storageClassCol = null, restoreHeaderCol = null,
+      sinkRoot = s"$scratch/def_sinks2")
+    val r2 = Main.runCycle(spark, cfg2, asOf)
+    assert(!new java.io.File(s"${cfg2.sinkRoot}/_deferred").exists())
+    assert(r2.rowsProcessed == rows.size)
+  }
+
+  test("day sealing (opt-in): grace-elapsed days commit an end-of-day " +
+      "watermark — retroactively too — and drop out of the listing") {
+    val inputPath = s"$scratch/seal_in"
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    val rows = (0 until 6).map { i =>
+      val day = if (i < 3) "2025-04-01" else "2025-04-02"
+      ("sl-" + i, 0, "user", s"2025-04-01T00:00:0${i}Z INFO [user] s$i",
+        null: String, at(s"${day}T0$i:00:00Z"), day)
+    }
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(inputPath)
+    val asOf = at("2025-04-10T00:00:00Z")
+
+    // phase 1: sealing DISABLED — watermarks are plain max(ts)
+    val cfg = PipelineConfig(inputPath, s"$scratch/seal_sinks")
+    val r1 = Main.runCycle(spark, cfg, asOf)
+    assert(r1.rowsProcessed == rows.size)
+    val wms1 = Lineage.watermarks(spark, cfg.sinkRoot)
+    assert(Discover.completedDays(wms1).isEmpty,
+      "max(ts) watermarks never complete a day by themselves")
+
+    // phase 2: sealing ENABLED, no new data — the no-data cycle still
+    // commits retroactive end-of-day seals and the days stop being listed
+    val sealCfg = cfg.copy(sealDaysGraceSeconds = 3600)
+    val r2 = Main.runCycle(spark, sealCfg, asOf)
+    assert(r2.rowsProcessed == 0L)
+    val wms2 = Lineage.watermarks(spark, cfg.sinkRoot)
+    assert(Discover.completedDays(wms2) ==
+      Set("2025-04-01", "2025-04-02"), s"both days sealed, got $wms2")
+    assert(Discover.listInputFiles(spark, inputPath,
+      Discover.completedDays(wms2)).isEmpty,
+      "sealed days are not LISTED at all")
+    // and the next cycle is still a no-op (nothing re-processed)
+    assert(Main.runCycle(spark, sealCfg, asOf).rowsProcessed == 0L)
+
+    // a day still inside its grace window is NOT sealed
+    val inGrace = cfg.copy(sealDaysGraceSeconds = 30 * 86400)
+    val wmsBefore = Lineage.watermarks(spark, cfg.sinkRoot)
+    assert(Main.runCycle(spark, inGrace, asOf).rowsProcessed == 0L)
+    assert(Lineage.watermarks(spark, cfg.sinkRoot) == wmsBefore,
+      "grace not elapsed -> no new seal commits")
   }
 }
