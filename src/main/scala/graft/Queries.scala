@@ -1295,6 +1295,143 @@ object Queries {
        FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** Gopher/C4-style repetition signals (duplicate-token fraction + top
+    * bigram count) — the boilerplate/degenerate-loop curation filter.
+    */
+  def d13(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFeatures(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("dup_frac_x1000"), col("top_bigram_n"), col("repetition_ok"))
+      .orderBy(col("doc_id"))
+
+  val d13Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+       g AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok
+             FROM t),
+       b AS (SELECT a.doc_id, a.tok || ' ' || c.tok AS bg
+             FROM g a JOIN g c ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+       m AS (SELECT doc_id, max(n) AS top_bigram_n FROM
+               (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
+             GROUP BY doc_id),
+       s AS (SELECT doc_id, len(w) AS n_tokens,
+             len(list_distinct(w)) AS n_distinct FROM t)
+       SELECT s.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_distinct AS BIGINT) AS n_distinct,
+              CAST(floor((n_tokens - n_distinct) * 1000 / n_tokens) AS BIGINT)
+                AS dup_frac_x1000,
+              CAST(COALESCE(m.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+              (floor((n_tokens - n_distinct) * 1000 / n_tokens) <= 600
+               AND COALESCE(m.top_bigram_n, 0) <= 8) AS repetition_ok
+       FROM s LEFT JOIN m USING (doc_id) ORDER BY s.doc_id"""
+
+  /** Token-window chunking (the document -> training-sample splitter):
+    * window 32, stride 24; chunk text verified via md5 prefix so the
+    * oracle checks CONTENT, not just counts.
+    */
+  def d14(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkPlan(t(spark, dir, "documents"), window = 32,
+        stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val d14Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+       c AS (SELECT doc_id,
+               CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+               CAST(s AS BIGINT) AS start,
+               w[s : s + 31] AS ch
+             FROM t, UNNEST(generate_series(1, len(w), 24)) AS u(s))
+       SELECT doc_id, chunk_idx, start,
+              CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+              substr(md5(array_to_string(ch, ' ')), 1, 8) AS chunk_h8
+       FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** Benchmark decontamination screen: 3-gram shingle overlap of every
+    * corpus doc against the benchmark set (doc_id % 97 == 0), broadcast
+    * semi-join + per-doc overlap count.
+    */
+  def d15(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    Dedup.contaminationScreen(corpus, bench, "doc_id", "text", shingleN = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val d15Sql: String =
+    """WITH d AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       hits AS (SELECT sh.doc_id, count(*) AS o FROM sh
+                JOIN bench USING (s)
+                WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+       SELECT d.doc_id, CAST(COALESCE(sizes.n, 0) AS BIGINT) AS n_shingles,
+              CAST(COALESCE(hits.o, 0) AS BIGINT) AS n_overlap,
+              COALESCE(hits.o, 0) > 0 AS contaminated
+       FROM d LEFT JOIN sizes USING (doc_id) LEFT JOIN hits USING (doc_id)
+       WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"""
+
+  /** PII pattern census over a deterministically CONSTRUCTED contact
+    * string (both engines build the identical text from `events` — the
+    * q22 technique), aggregated per event_type. Counts only; the text
+    * byte-equality invariant holds everywhere.
+    */
+  def d16(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("contact", concat(
+        lit("contact "), col("event_type"), lit("_"),
+        col("event_id").cast("string"), lit("@example.com"),
+        when(col("event_id") % 3 === 0,
+          concat(lit(" call 555-123-"),
+            lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("event_id") % 5 === 0,
+          concat(lit(" from 10.0."),
+            (col("event_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))))
+    TextAnalysis.piiCounts(ev, "contact")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_email")).as("total_email"),
+        sum(col("n_phone")).as("total_phone"),
+        sum(col("n_ipv4")).as("total_ipv4"),
+        sum(when(col("pii_free"), 1L).otherwise(0L)).as("n_pii_free"))
+      .orderBy(col("event_type"))
+  }
+
+  val d16Sql: String =
+    """WITH c AS (SELECT event_type,
+           'contact ' || event_type || '_' || event_id || '@example.com' ||
+           CASE WHEN event_id % 3 = 0
+                THEN ' call 555-123-' ||
+                     lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END ||
+           CASE WHEN event_id % 5 = 0
+                THEN ' from 10.0.' || (event_id % 256) || '.7'
+                ELSE '' END AS contact
+           FROM events),
+       p AS (SELECT event_type,
+             len(regexp_extract_all(contact,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             len(regexp_extract_all(contact,
+               '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+             len(regexp_extract_all(contact,
+               '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4
+             FROM c)
+       SELECT event_type, count(*) AS n,
+              CAST(sum(n_email) AS BIGINT) AS total_email,
+              CAST(sum(n_phone) AS BIGINT) AS total_phone,
+              CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+              CAST(sum(CASE WHEN n_email = 0 AND n_phone = 0 AND n_ipv4 = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free
+       FROM p GROUP BY event_type ORDER BY event_type"""
+
   // ---------------------------------------------------------------- //
   // Flagship pipeline queries: a deterministic Turn-shaped transcript //
   // is CONSTRUCTED from the events table (both engines build the      //
@@ -1505,6 +1642,10 @@ object Queries {
     "d10_rolling_fingerprint" -> (d10 _),
     "d11_curation_pipeline" -> (d11 _),
     "d12_simhash_neardup_pairs" -> (d12 _),
+    "d13_repetition" -> (d13 _),
+    "d14_chunking" -> (d14 _),
+    "d15_contamination" -> (d15 _),
+    "d16_pii_census" -> (d16 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
@@ -1558,6 +1699,10 @@ object Queries {
     "d10_rolling_fingerprint" -> d10Sql,
     "d11_curation_pipeline" -> d11Sql,
     "d12_simhash_neardup_pairs" -> d12Sql,
+    "d13_repetition" -> d13Sql,
+    "d14_chunking" -> d14Sql,
+    "d15_contamination" -> d15Sql,
+    "d16_pii_census" -> d16Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql,

@@ -54,6 +54,31 @@ object Dedup {
         x => x.isNotNull)))
   }
 
+  /** Benchmark-contamination screen: for every corpus document, the
+    * number of its n-gram shingles that also appear anywhere in a
+    * benchmark/eval set — the standard decontamination pass before
+    * training. The benchmark shingle set is tiny relative to the corpus,
+    * so it is DISTINCT'd and broadcast: the corpus side is one explode +
+    * a broadcast left-semi join + one hash aggregate — the 100 TB scan
+    * never shuffles on its own size. n_overlap counts DISTINCT
+    * overlapping shingles ([[shingles]] de-duplicates per document).
+    */
+  def contaminationScreen(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val corpusSh = corpus.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("s"))
+    val benchSh = bench
+      .select(explode(shingles(col(textCol), shingleN)).as("s")).distinct()
+    val hits = corpusSh.join(broadcast(benchSh), Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol),
+        size(shingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Exploded (id, shingle) view — the input to MinHash. NOT
     * deduplicated or sorted: `min` is idempotent, so set semantics buy
     * nothing here and the O(T^2) `array_distinct` + O(T log T)

@@ -123,6 +123,92 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Gopher/C4-style repetition signals — the standard curation filters
+    * for boilerplate and degenerate generation loops. Per document:
+    * duplicate-token fraction (1 - distinct/total, x1000 floored — exact
+    * integers, no float drift) and the count of the most frequent token
+    * bigram. One explode + two hash aggregates on the bigram side (the
+    * per-doc stats stay narrow); at 100 TB the bigram aggregate is
+    * map-side-combinable since bigram cardinality per doc is bounded by
+    * doc length.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      toks.as("_toks"))
+    // guard size >= 2 BEFORE sequence(1, size-1): Spark's sequence
+    // generates a DESCENDING range when start > stop, which would
+    // fabricate a bogus bigram for 1-token docs
+    val bigrams = base.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => concat_ws(" ", element_at(col("_toks"), i),
+          element_at(col("_toks"), i + 1)))).as("bg"))
+    val top = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(max(col("n")).as("top_bigram_n"))
+    base.drop("_toks")
+      .join(top, Seq(idCol), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .withColumn("dup_frac_x1000",
+        when(col("n_tokens") > 0,
+          floor((col("n_tokens") - col("n_distinct")) * lit(1000)
+            / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+      // heuristic keep/drop in the Gopher spirit: mostly-unique tokens
+      // and no bigram dominating the document
+      .withColumn("repetition_ok",
+        col("dup_frac_x1000") <= 600 && col("top_bigram_n") <= 8)
+  }
+
+  /** Fixed-size token-window chunking — the document -> training-sample
+    * splitter (window `w` tokens, stride `s`): chunk k covers tokens
+    * [1 + k*s, 1 + k*s + w). Chunks start while start <= n_tokens, so
+    * every token is covered and the tail chunk may be short. Output is
+    * one row per chunk with an md5 prefix of the chunk text (the
+    * join-key shape for downstream sampling) — a narrow explode, no
+    * shuffle, and the per-row payload stays small regardless of `w`.
+    */
+  def chunkPlan(df: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("_toks"),
+        tokenCount(col(textCol)).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(1), col("_n"), lit(stride))).as("start"))
+      .select(col(idCol),
+        floor((col("start") - 1) / lit(stride)).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        slice(col("_toks"), col("start"), lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        substring(md5(array_join(col("_chunk"), " ")), 1, 8).as("chunk_h8"))
+  }
+
+  /** PII pattern census: counts of email / phone / IPv4 shapes per row.
+    * Patterns are deliberately dialect-portable (no lookaround, no
+    * backrefs) so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+    * COUNTS ONLY — the text byte-equality invariant holds; an actual
+    * redaction pass belongs to a sink-side writer, driven by these
+    * columns.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4" -> "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  def piiCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    piiPatterns.foldLeft(df) { case (acc, (k, p)) =>
+      acc.withColumn(s"n_$k",
+        size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long"))
+    }.withColumn("pii_free",
+      piiPatterns.map { case (k, _) => col(s"n_$k") === 0L }.reduce(_ && _))
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — a
     * content-defined fingerprint that, unlike md5, supports windowed
     * near-dup chunking. Implemented as a codegen-friendly aggregate

@@ -144,6 +144,27 @@ class PlanSpec extends AnyFunSuite {
       s"e02 must join by LSH bucket, not all-pairs:\n$plan")
   }
 
+  test("d15 contamination screen: benchmark side broadcast, corpus never " +
+      "shuffled on its own size") {
+    // The corpus scan is the 100 TB side; the benchmark shingle set is
+    // tiny. The overlap join must be a broadcast LEFT SEMI — a sort-merge
+    // or nested-loop here would shuffle/replicate the full corpus.
+    val plan = physical(
+      graft.Queries.d15(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark overlap must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no all-pairs shapes:\n$plan")
+  }
+
+  test("d14 chunking is a pure narrow explode — zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(
+      graft.ops.TextAnalysis.chunkPlan(docs, window = 32, stride = 24))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle (narrow explode):\n$plan")
+  }
+
   test("routing + parse stay inside whole-stage codegen") {
     val routed = Route(Parse.parseColumns(
       spark.read.parquet(s"$scratch/input")))
