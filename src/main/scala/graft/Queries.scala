@@ -1305,7 +1305,9 @@ object Queries {
       .orderBy(col("doc_id"))
 
   val d13Sql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
            FROM documents),
        g AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok
              FROM t),
@@ -1315,15 +1317,18 @@ object Queries {
                (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
              GROUP BY doc_id),
        s AS (SELECT doc_id, len(w) AS n_tokens,
-             len(list_distinct(w)) AS n_distinct FROM t)
-       SELECT s.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             len(list_distinct(w)) AS n_distinct FROM t),
+       f AS (SELECT doc_id, n_tokens, n_distinct,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE floor((n_tokens - n_distinct) * 1000 / n_tokens)
+             END AS dup_frac FROM s)
+       SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
               CAST(n_distinct AS BIGINT) AS n_distinct,
-              CAST(floor((n_tokens - n_distinct) * 1000 / n_tokens) AS BIGINT)
-                AS dup_frac_x1000,
+              CAST(dup_frac AS BIGINT) AS dup_frac_x1000,
               CAST(COALESCE(m.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-              (floor((n_tokens - n_distinct) * 1000 / n_tokens) <= 600
-               AND COALESCE(m.top_bigram_n, 0) <= 8) AS repetition_ok
-       FROM s LEFT JOIN m USING (doc_id) ORDER BY s.doc_id"""
+              (dup_frac <= 600 AND COALESCE(m.top_bigram_n, 0) <= 8)
+                AS repetition_ok
+       FROM f LEFT JOIN m USING (doc_id) ORDER BY f.doc_id"""
 
   /** Token-window chunking (the document -> training-sample splitter):
     * window 32, stride 24; chunk text verified via md5 prefix so the
@@ -1335,7 +1340,9 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   val d14Sql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    """WITH t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
            FROM documents),
        c AS (SELECT doc_id,
                CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,

@@ -66,16 +66,20 @@ object Dedup {
   def contaminationScreen(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val corpusSh = corpus.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("s"))
     val benchSh = bench
       .select(explode(shingles(col(textCol), shingleN)).as("s")).distinct()
-    val hits = corpusSh.join(broadcast(benchSh), Seq("s"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    corpus.select(col(idCol),
-        size(shingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("_hit", lit(1))
+    // ONE pass over the corpus: shingle once, explode_outer (docs with
+    // no shingles keep a row), mark hits via a broadcast LEFT join
+    // (benchSh is distinct, so each shingle matches at most once), then
+    // a single aggregate yields both counts.
+    corpus
+      .select(col(idCol),
+        explode_outer(shingles(col(textCol), shingleN)).as("s"))
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("s")).as("n_shingles"),
+        count(col("_hit")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 

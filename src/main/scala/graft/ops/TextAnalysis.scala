@@ -137,7 +137,11 @@ object TextAnalysis {
     val toks = split(trim(col(textCol)), "\\s+")
     val base = df.select(col(idCol),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      // split("") yields [""], so guard like tokenCount does — an empty
+      // doc has 0 distinct tokens, not 1
+      when(length(trim(col(textCol))) === 0, lit(0L))
+        .otherwise(size(array_distinct(toks)).cast("long"))
+        .as("n_distinct"),
       toks.as("_toks"))
     // guard size >= 2 BEFORE sequence(1, size-1): Spark's sequence
     // generates a DESCENDING range when start > stop, which would

@@ -117,22 +117,27 @@ object Discover {
     out.result().sorted
   }
 
+  /** End-of-day instant for a `yyyy-MM-dd` partition value: next
+    * midnight minus 1 microsecond (timestamp granularity), in UTC like
+    * every pipeline timestamp. None for unparseable values. The SINGLE
+    * definition shared by [[completedDays]] and the day-sealing commit
+    * (Main.runCycle) — the seal only prunes if both sides agree on this
+    * exact value, so it lives in one place.
+    */
+  def endOfDayTs(d: String): Option[Timestamp] =
+    if (d == null) None
+    else try {
+      Some(Timestamp.from(java.time.LocalDate.parse(d).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.minusNanos(1000L)))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
   /** Days whose committed watermark has reached end-of-day: no row of
     * that partition can ever satisfy `ts > wm` again, so discovery may
     * skip LISTING the partition altogether (not merely filter it).
-    * End-of-day = next midnight minus 1 microsecond (timestamp
-    * granularity), computed in UTC like every pipeline timestamp.
     */
   def completedDays(wms: Map[String, Timestamp]): Set[String] =
-    wms.collect { case (d, t) if d != null && {
-      val endOfDay = try {
-        val day = java.time.LocalDate.parse(d)
-        Timestamp.from(day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
-          .toInstant.minusNanos(1000L))
-      } catch { case _: java.time.format.DateTimeParseException =>
-        new Timestamp(Long.MaxValue) } // unparseable day: never skip
-      !t.before(endOfDay)
-    } => d }.toSet
+    wms.collect { case (d, t)
+      if endOfDayTs(d).exists(e => !t.before(e)) => d }.toSet
 
   /** S6 as a PIPELINE predicate — the `file_restored?` analog
     * (s3.rb:155-156, 428-444): rows in a cold storage tier (GLACIER /
@@ -194,20 +199,24 @@ object Discover {
     */
   def delta(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
       wms: Map[String, Timestamp]): DataFrame =
-    baseDelta(spark, cfg, asOf, wms)
-      .filter(coalesce(storageEligiblePredicate(cfg, asOf), lit(false)))
+    deltaAndDeferred(spark, cfg, asOf, wms)._1
 
-  /** The skipped-cold complement of [[delta]]: rows excluded ONLY by the
-    * S6 eligibility predicate (a malformed restore header counts as
-    * ineligible on a cold row). Empty by construction when S6 is not
-    * configured. `runCycle` persists this per batch so a row the
-    * reference would lose forever (skip while sincedb advances,
-    * s3.rb:152-156) stays re-drivable after its restore completes.
+  /** Eligible delta AND its skipped-cold complement (rows excluded ONLY
+    * by the S6 predicate; a malformed restore header counts as
+    * ineligible on a cold row), both derived from ONE base plan over ONE
+    * pinned file listing — the two sides always describe the same
+    * snapshot, and the O(files) driver walk is paid once per cycle.
+    * The complement is empty by construction when S6 is not configured.
+    * `runCycle` persists it per batch so a row the reference would lose
+    * forever (skip while sincedb advances, s3.rb:152-156) stays
+    * re-drivable after its restore completes.
     */
-  def deferredCold(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
-      wms: Map[String, Timestamp]): DataFrame =
-    baseDelta(spark, cfg, asOf, wms)
-      .filter(!coalesce(storageEligiblePredicate(cfg, asOf), lit(false)))
+  def deltaAndDeferred(spark: SparkSession, cfg: PipelineConfig,
+      asOf: Timestamp, wms: Map[String, Timestamp]): (DataFrame, DataFrame) = {
+    val base = baseDelta(spark, cfg, asOf, wms)
+    val eligible = coalesce(storageEligiblePredicate(cfg, asOf), lit(false))
+    (base.filter(eligible), base.filter(!eligible))
+  }
 
   private def baseDelta(spark: SparkSession, cfg: PipelineConfig,
       asOf: Timestamp, wms: Map[String, Timestamp]): DataFrame = {

@@ -35,8 +35,11 @@ object Main {
     val wms = Lineage.watermarksAt(spark, lineageDir)
     val batchId = Lineage.batchId(asOf, wms, Lineage.checkpointId(cfg))
 
-    // 2. discovery: the unprocessed, cutoff-eligible delta
-    val delta = Discover.delta(spark, cfg, asOf, wms)
+    // 2. discovery: the unprocessed, cutoff-eligible delta plus the
+    // skipped-cold complement — ONE pinned listing for both sides
+    val (delta, deferredCold) = Discover.deltaAndDeferred(spark, cfg, asOf, wms)
+    val s6Configured =
+      cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
     // so consumers that drop columns shuffle less — see Pipeline)
@@ -61,32 +64,38 @@ object Main {
     // discipline at 100x file counts. Trade-off (documented): rows
     // backfilled into a sealed day with ts inside it are skipped by the
     // watermark, exactly like the reference skips objects behind sincedb.
-    def endOfDay(d: String): Option[Timestamp] =
-      if (cfg.sealDaysGraceSeconds < 0 || d == null) None
-      else try {
-        val end = java.time.LocalDate.parse(d).plusDays(1)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-        if (!asOf.toInstant.isBefore(end.plusSeconds(cfg.sealDaysGraceSeconds)))
-          Some(Timestamp.from(end.minusNanos(1000L))) // µs precision
-        else None
-      } catch { case _: java.time.format.DateTimeParseException => None }
+    // the effective grace is clamped to >= cutoffSeconds: a seal firing
+    // inside the cutoff window would round the watermark past rows the
+    // S5 cutoff deliberately deferred to the NEXT cycle — on-time data,
+    // not backfill — and silently lose them at every day boundary
+    val graceEff = math.max(cfg.sealDaysGraceSeconds.toLong,
+      cfg.cutoffSeconds.toLong)
+    def sealableEnd(d: String): Option[Timestamp] =
+      if (cfg.sealDaysGraceSeconds < 0) None
+      else Discover.endOfDayTs(d).filter(e =>
+        !asOf.toInstant.isBefore(e.toInstant.plusSeconds(graceEff)))
     def sealed_(d: String, mx: Timestamp): Timestamp =
-      endOfDay(d).filter(_.after(mx)).getOrElse(mx)
+      sealableEnd(d).filter(_.after(mx)).getOrElse(mx)
     // retroactive seals: days committed in EARLIER cycles whose grace
     // has now elapsed get a zero-row seal commit, so they stop being
     // listed even when no new data arrives
     val now = new Timestamp(System.currentTimeMillis())
     val sealCommits = wms.toSeq.collect {
-      case (d, wm) if endOfDay(d).exists(_.after(wm)) =>
-        Lineage.Commit(batchId, d, endOfDay(d).get, 0L, now)
+      case (d, wm) if sealableEnd(d).exists(_.after(wm)) =>
+        Lineage.Commit(batchId, d, sealableEnd(d).get, 0L, now)
     }
 
     if (total == 0L) {
       routed.unpersist()
       // progress without data: sealing-only commit (no publish happened
       // under this batchId, so the id's presence in lineage is inert for
-      // sink readers)
+      // sink readers). The deferred-cold manifest is STILL written —
+      // skipped cold rows of a day about to seal must be recorded
+      // BEFORE the seal makes them undiscoverable, or the "nothing
+      // silently lost" invariant breaks exactly when it matters
       if (sealCommits.nonEmpty) {
+        if (s6Configured)
+          Sinks.writeDeferred(deferredCold, cfg.sinkRoot, batchId)
         Lineage.commitAt(spark, lineageDir, sealCommits)
         Lineage.compactAt(spark, lineageDir)
       }
@@ -104,12 +113,11 @@ object Main {
       Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
     // S6: persist the skipped-cold complement so a row whose restore
     // completes after the watermark has passed it is re-drivable (the
-    // reference silently loses it, s3.rb:152-156). One extra pushed-
-    // filter scan per cycle, paid only when storage columns are
-    // configured.
-    if (cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty)
-      Sinks.writeDeferred(Discover.deferredCold(spark, cfg, asOf, wms),
-        cfg.sinkRoot, batchId)
+    // reference silently loses it, s3.rb:152-156). Same pinned snapshot
+    // as the delta; one extra pushed-filter scan per cycle, paid only
+    // when storage columns are configured.
+    if (s6Configured)
+      Sinks.writeDeferred(deferredCold, cfg.sinkRoot, batchId)
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     val newDays = newWms.map(_._1).toSet
     Lineage.commitAt(spark, lineageDir,

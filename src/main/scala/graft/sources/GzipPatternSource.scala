@@ -67,11 +67,15 @@ object GzipPatternSource {
       }
   }
 
-  /** Ceiling on DECOMPRESSED bytes per object (256 MiB). The whole
-    * decode is buffered in one task (see the scale note above), so a
-    * gzip-bombed or pathologically large object must be SKIPPED like a
-    * broken file, not allowed to OOM the executor — OutOfMemoryError is
-    * not catchable the way a corrupt-stream IOException is.
+  /** Ceiling on DECODED bytes per object (256 MiB), applied to BOTH the
+    * gzip and the plain path: the whole decode is buffered in one task
+    * as a Vector of UTF-16 strings (~2x the byte count again on top of
+    * binaryFile's byte array), so a gzip bomb AND a pathologically large
+    * plain object alike must be SKIPPED like a broken file — skipped and
+    * REPORTED, because OutOfMemoryError is not catchable the way a
+    * corrupt-stream IOException is, and losing one executor loses every
+    * other object in its task. Operators with genuinely larger objects
+    * raise `maxBytes` explicitly at the call site.
     */
   val maxDecompressedBytes: Long = 256L * 1024 * 1024
 
@@ -105,14 +109,12 @@ object GzipPatternSource {
       cap: Long = maxDecompressedBytes): Iterator[String] =
     try {
       val raw: InputStream = new ByteArrayInputStream(bytes)
-      // the cap guards gzip EXPANSION only: a plain file's bytes are
-      // already fully materialized by binaryFile, so capping them would
-      // not prevent any allocation — it would only make large plain
-      // files silently vanish
-      val in =
-        if (pat.matcher(path).find())
-          new CappedInputStream(new GZIPInputStream(raw), cap, path)
-        else raw
+      // the cap wraps BOTH paths: it bounds the decoded line buffer this
+      // function builds, not merely gzip expansion (see
+      // [[maxDecompressedBytes]])
+      val in = new CappedInputStream(
+        if (pat.matcher(path).find()) new GZIPInputStream(raw) else raw,
+        cap, path)
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
       Iterator.continually(reader.readLine())

@@ -996,4 +996,65 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.watermarks(spark, cfg.sinkRoot) == wmsBefore,
       "grace not elapsed -> no new seal commits")
   }
+
+  test("sealing is cutoff-safe and manifest-safe: grace clamps to >= " +
+      "cutoff (no loss of cutoff-deferred rows) and sealing-only cycles " +
+      "still write the deferred-cold manifest") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def hdrless(c: String, sc: String, iso: String, day: String) =
+      (c, 0, "user", s"${iso.dropRight(1)}Z INFO [user] x", null: String,
+        at(iso), sc, null: String, day)
+
+    // leg 1 (R2): a row the S5 cutoff deferred at the day boundary must
+    // NOT be sealed away. Day D: warm 10:00, warm LATE 23:50.
+    val in1 = s"$scratch/ss_in1"
+    Seq(hdrless("w1", "STANDARD", "2025-05-01T10:00:00Z", "2025-05-01"),
+        hdrless("late", "STANDARD", "2025-05-01T23:50:00Z", "2025-05-01"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "storage_class", "restore_hdr", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(in1)
+    val cfg1 = PipelineConfig(in1, s"$scratch/ss_sinks1",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      cutoffSeconds = 3600, sealDaysGraceSeconds = 0)
+    // cycle 1 at 00:30 next day: the 1h cutoff defers the 23:50 row;
+    // an UNclamped grace=0 would seal the day right here and lose it
+    val r1 = Main.runCycle(spark, cfg1, at("2025-05-02T00:30:00Z"))
+    assert(r1.rowsProcessed == 1L, "only the 10:00 row is cutoff-eligible")
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg1.sinkRoot)).isEmpty,
+      "grace clamps to cutoff: day must NOT seal inside the cutoff window")
+    // cycle 2 at 02:00: past end-of-day + cutoff -> the deferred row is
+    // processed AND the day seals in the same commit
+    val r2 = Main.runCycle(spark, cfg1, at("2025-05-02T02:00:00Z"))
+    assert(r2.rowsProcessed == 1L, "the cutoff-deferred row is NOT lost")
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg1.sinkRoot)) == Set("2025-05-01"))
+
+    // leg 2 (R1): a sealing-only cycle (no eligible data) must write the
+    // deferred-cold manifest BEFORE the seal hides the partition forever
+    val in2 = s"$scratch/ss_in2"
+    Seq(hdrless("w2", "STANDARD", "2025-06-01T09:00:00Z", "2025-06-01"),
+        hdrless("cold", "GLACIER", "2025-06-01T11:00:00Z", "2025-06-01"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "storage_class", "restore_hdr", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(in2)
+    val base2 = PipelineConfig(in2, s"$scratch/ss_sinks2",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      cutoffSeconds = 3)
+    // cycle A, sealing OFF: warm processed, cold deferred + manifested
+    val rA = Main.runCycle(spark, base2, at("2025-06-02T12:00:00Z"))
+    assert(rA.rowsProcessed == 1L)
+    // cycle B, sealing ON, no new data: total==0 but seals fire — the
+    // manifest for THIS batch must still record the cold row
+    val rB = Main.runCycle(spark, base2.copy(sealDaysGraceSeconds = 0),
+      at("2025-06-02T13:00:00Z"))
+    assert(rB.rowsProcessed == 0L)
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, base2.sinkRoot)) == Set("2025-06-01"))
+    val manifestB = spark.read
+      .parquet(s"${base2.sinkRoot}/_deferred/batch=${rB.batchId}")
+    assert(manifestB.select($"conv_id").collect().map(_.getString(0)).toSeq
+      == Seq("cold"),
+      "sealing-only cycle must manifest the rows the seal will hide")
+  }
 }

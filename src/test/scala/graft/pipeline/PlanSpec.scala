@@ -151,10 +151,12 @@ class PlanSpec extends AnyFunSuite {
     // or nested-loop here would shuffle/replicate the full corpus.
     val plan = physical(
       graft.Queries.d15(spark, "/root/testdata/sf0.001"))
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"benchmark overlap must be a broadcast semi-join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"), s"no all-pairs shapes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark overlap must broadcast the tiny side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus must never shuffle/replicate on its own size:\n$plan")
   }
 
   test("d14 chunking is a pure narrow explode — zero exchanges") {
