@@ -124,6 +124,44 @@ object PipelineProps extends Properties("pipeline") {
       }
     }
 
+  property("S6 split is a PARTITION of the delta: eligible + deferred == " +
+      "unfiltered, disjoint, for arbitrary class/header combos") =
+    forAll(Gen.listOfN(15, Gen.zip(
+      Gen.oneOf(List("STANDARD", "GLACIER", "DEEP_ARCHIVE", null)),
+      Gen.oneOf(List(null,
+        "ongoing-request=\"false\", expiry-date=\"2027-01-01 00:00:00\"",
+        "ongoing-request=\"true\", expiry-date=\"2027-01-01 00:00:00\"",
+        "ongoing-request=\"false\", expiry-date=\"2020-01-01 00:00:00\"",
+        "not a restore header"))))) { rows =>
+      rows.isEmpty || {
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/root/repo/target"), "s6prop").toString
+        try {
+          val ts0 = new Timestamp(Synth.baseEpochMs)
+          rows.zipWithIndex.map { case ((sc, rh), i) =>
+            (s"p$i", 0, "user", s"2025-01-01T00:00:00Z INFO [user] r$i",
+              null: String, ts0, sc, rh, "2025-01-01")
+          }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+              "storage_class", "restore_hdr", "day")
+            .write.mode("overwrite").partitionBy("day").parquet(dir)
+          val asOf = new Timestamp(Synth.baseEpochMs + 86400000L)
+          val cfg = PipelineConfig(dir, s"$dir-sinks",
+            storageClassCol = "storage_class",
+            restoreHeaderCol = "restore_hdr")
+          val (elig, defer) = Discover.deltaAndDeferred(spark, cfg, asOf,
+            Map.empty)
+          def ids(df: org.apache.spark.sql.DataFrame) =
+            df.select($"conv_id").collect().map(_.getString(0)).toSet
+          val all = ids(Discover.delta(spark,
+            cfg.copy(storageClassCol = null, restoreHeaderCol = null),
+            asOf, Map.empty))
+          val (e, d) = (ids(elig), ids(defer))
+          (e ++ d) == all && (e & d).isEmpty
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(dir))
+      }
+    }
+
   property("literal watermark predicate == reference semantics") =
     forAll(
       Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 100L))),
