@@ -131,6 +131,95 @@ object Main {
     CycleResult(batchId, total, published)
   }
 
+  /** Re-drive the deferred-cold backlog: process manifest rows whose
+    * restore has since COMPLETED, as a first-class batch. This is the
+    * recovery path the reference lacks entirely (its skipped Glacier
+    * objects are gone once sincedb passes them, s3.rb:152-156).
+    *
+    * Semantics, carefully scoped to avoid double-processing:
+    *  - only keys BEHIND their day's committed watermark are candidates
+    *    (a deferred row still ahead of the watermark will be picked up
+    *    by normal discovery once restored — re-driving it too would
+    *    publish it twice);
+    *  - eligibility is re-evaluated against the CURRENT source table
+    *    (the restore completes in the SOURCE's metadata, so the manifest
+    *    keys are re-read from the input — the `file_restored?` re-check
+    *    analog, s3.rb:428-444);
+    *  - re-driven keys are recorded in an append-only `_redriven` ledger
+    *    and excluded from future re-drives (idempotence);
+    *  - the lineage commit records the batch (so sink readers see it)
+    *    without advancing any day watermark (max-per-day semantics:
+    *    re-driven ts are behind the committed watermark by
+    *    construction).
+    *
+    * Plan shape: the manifest/ledger sides are small (skipped-cold rows
+    * only) and broadcast; the one full input read is semi-joined down to
+    * exactly the pending keys before any wide operator runs.
+    */
+  def redriveDeferred(spark: SparkSession, cfg: PipelineConfig,
+      asOf: Timestamp): CycleResult = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val lineageDir = Lineage.dirFor(cfg)
+    val wms = Lineage.watermarksAt(spark, lineageDir)
+    val batchId = Lineage.batchId(asOf, wms,
+      Lineage.checkpointId(cfg) + "|redrive")
+
+    def batchDirs(root: String): Seq[String] = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch=")).map(_.toString)
+    }
+    val manifestDirs = batchDirs(s"${cfg.sinkRoot}/_deferred")
+    if (manifestDirs.isEmpty) return CycleResult(batchId, 0L, Seq.empty)
+
+    // pending = manifested keys, behind-the-watermark, not yet re-driven
+    val manifested = spark.read.parquet(manifestDirs: _*)
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("day"))
+      .distinct()
+    val wmDf = wms.toSeq.toDF("day", "_wm")
+    val behindWm = manifested.join(broadcast(wmDf), Seq("day"))
+      .filter(col("ts") <= col("_wm"))
+      .select(col("conv_id"), col("turn_idx"))
+    val ledgerDirs = batchDirs(s"${cfg.sinkRoot}/_redriven")
+    val pending =
+      if (ledgerDirs.isEmpty) behindWm
+      else behindWm.join(spark.read.parquet(ledgerDirs: _*),
+        Seq("conv_id", "turn_idx"), "left_anti")
+
+    // current source state for exactly the pending keys. The watermark
+    // map is deliberately EMPTY: these keys are behind the committed
+    // watermark (and possibly in sealed days), which is precisely why
+    // normal discovery can no longer see them.
+    val current = Discover.deltaAndDeferred(spark, cfg, asOf, Map.empty)
+    val eligibleNow = current._1
+      .join(broadcast(pending), Seq("conv_id", "turn_idx"), "left_semi")
+      .cache()
+    val redrivenKeys = eligibleNow.select(col("conv_id"), col("turn_idx"))
+    val total = eligibleNow.count()
+    if (total == 0L) { eligibleNow.unpersist(); return CycleResult(batchId, 0L, Seq.empty) }
+
+    val routed = Pipeline(eligibleNow.as[Turn](
+      org.apache.spark.sql.Encoders.product[Turn]),
+      cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
+    Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
+    val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
+    val now = new Timestamp(System.currentTimeMillis())
+    val days = eligibleNow.groupBy(col("day"))
+      .agg(max(col("ts")).as("mx"), count(lit(1)).as("n")).collect()
+      .map(r => Lineage.Commit(batchId, r.getString(0), r.getTimestamp(1),
+        r.getLong(2), now)).toSeq
+    Lineage.commitAt(spark, lineageDir, days)
+    // ledger LAST: a crash before this line re-drives the same keys
+    // idempotently (same batchId, overwritten publish)
+    redrivenKeys.write.mode("overwrite")
+      .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId")
+    eligibleNow.unpersist()
+    CycleResult(batchId, total, published)
+  }
+
   /** CLI: --input <path> --sink-root <path> --as-of <ISO8601|now>
     * [--exclude <regex>] [--cutoff <sec>]
     * [--synth <nConvs>] [--seed <n>]  — first write a deterministic
@@ -157,6 +246,7 @@ object Main {
     val asOf = opts.get("as-of").filter(_ != "now")
       .map(s => Timestamp.from(java.time.Instant.parse(s)))
       .getOrElse(new Timestamp(System.currentTimeMillis()))
+    val redrive = opts.get("redrive").exists(_.toBoolean)
     val cfg = PipelineConfig(
       inputPath = opts("input"),
       sinkRoot = opts("sink-root"),
@@ -175,7 +265,9 @@ object Main {
       deleteAfterProcess = opts.get("delete-after-process")
         .exists(_.toBoolean),
       sealDaysGraceSeconds = opts.getOrElse("seal-days-grace", "-1").toInt)
-    val res = runCycle(spark, cfg, asOf)
+    val res =
+      if (redrive) redriveDeferred(spark, cfg, asOf)
+      else runCycle(spark, cfg, asOf)
     println(s"""{"batch_id":"${res.batchId}","rows":${res.rowsProcessed},""" +
       s""""sinks":[${res.publishedSinks.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()

@@ -1057,4 +1057,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("cold"),
       "sealing-only cycle must manifest the rows the seal will hide")
   }
+
+  test("redriveDeferred recovers a sealed-away cold row once its restore " +
+      "completes — exactly once, no duplicates (beyond-reference recovery)") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, sc: String, rh: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso), sc, rh,
+        "2025-07-01")
+    val in = s"$scratch/rd_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "storage_class", "restore_hdr", "day")
+    Seq(row("warm", "STANDARD", null, "2025-07-01T09:00:00Z"),
+        row("cold", "GLACIER", null, "2025-07-01T11:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/rd_sinks",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      cutoffSeconds = 3, sealDaysGraceSeconds = 0)
+
+    // cycle 1: warm processed, cold deferred, day sealed in one commit
+    val r1 = Main.runCycle(spark, cfg, at("2025-07-03T00:00:00Z"))
+    assert(r1.rowsProcessed == 1L)
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg.sinkRoot)) == Set("2025-07-01"))
+
+    // re-drive BEFORE the restore completes: nothing is eligible yet
+    val r2 = Main.redriveDeferred(spark, cfg, at("2025-07-04T00:00:00Z"))
+    assert(r2.rowsProcessed == 0L)
+
+    // the restore completes IN THE SOURCE (object metadata change):
+    // rewrite the table with the cold row's header now complete+unexpired
+    Seq(row("warm", "STANDARD", null, "2025-07-01T09:00:00Z"),
+        row("cold", "GLACIER",
+          "ongoing-request=\"false\", expiry-date=\"2027-01-01 00:00:00\"",
+          "2025-07-01T11:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+
+    val r3 = Main.redriveDeferred(spark, cfg, at("2025-07-05T00:00:00Z"))
+    assert(r3.rowsProcessed == 1L, "restored row is recovered")
+    // published and visible to committed readers; no duplicates anywhere
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
+      .reduce(_ unionByName _)
+      .collect().map(_.getString(0)).sorted
+    assert(visible.toSeq == Seq("cold", "warm"),
+      s"exactly one copy of each row, got ${visible.mkString(",")}")
+    // watermark/seal state untouched by the re-drive
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg.sinkRoot)) == Set("2025-07-01"))
+
+    // idempotence: the ledger makes a second re-drive a no-op, and a
+    // normal cycle still discovers nothing (sealed day stays sealed)
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2025-07-06T00:00:00Z")).rowsProcessed == 0L)
+    assert(Main.runCycle(spark, cfg,
+      at("2025-07-06T00:00:00Z")).rowsProcessed == 0L)
+  }
 }
