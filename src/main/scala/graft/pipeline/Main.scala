@@ -183,7 +183,15 @@ object Main {
     val behindWm = manifested.join(broadcast(wmDf), Seq("day"))
       .filter(col("ts") <= col("_wm"))
       .select(col("conv_id"), col("turn_idx"))
+    // a ledger entry only counts if its batch COMMITTED: the write order
+    // below is publish -> ledger -> commit, so every crash window
+    // resolves to exactly-once — an uncommitted ledger (crash before
+    // commit) is ignored and the keys re-drive; a committed one excludes
+    // them; an orphaned publish (crash before ledger) is invisible to
+    // readers and simply re-driven under a fresh batch id
+    val committed = Lineage.committedBatchesAt(spark, lineageDir)
     val ledgerDirs = batchDirs(s"${cfg.sinkRoot}/_redriven")
+      .filter(d => committed.contains(d.split("batch=").last))
     val pending =
       if (ledgerDirs.isEmpty) behindWm
       else behindWm.join(spark.read.parquet(ledgerDirs: _*),
@@ -206,16 +214,15 @@ object Main {
       cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
+    // ledger BEFORE commit — see the crash-window analysis above
+    redrivenKeys.write.mode("overwrite")
+      .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId")
     val now = new Timestamp(System.currentTimeMillis())
     val days = eligibleNow.groupBy(col("day"))
       .agg(max(col("ts")).as("mx"), count(lit(1)).as("n")).collect()
       .map(r => Lineage.Commit(batchId, r.getString(0), r.getTimestamp(1),
         r.getLong(2), now)).toSeq
     Lineage.commitAt(spark, lineageDir, days)
-    // ledger LAST: a crash before this line re-drives the same keys
-    // idempotently (same batchId, overwritten publish)
-    redrivenKeys.write.mode("overwrite")
-      .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId")
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)
   }

@@ -1092,8 +1092,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           "2025-07-01T11:00:00Z"))
       .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
 
+    // crash-window simulation: a ledger entry whose batch never
+    // COMMITTED (crash between ledger write and lineage commit) must be
+    // ignored — otherwise the keys would be neither published nor ever
+    // re-drivable
+    Seq(("cold", 0)).toDF("conv_id", "turn_idx").write.mode("overwrite")
+      .parquet(s"${cfg.sinkRoot}/_redriven/batch=deadbeefdeadbeef")
+
     val r3 = Main.redriveDeferred(spark, cfg, at("2025-07-05T00:00:00Z"))
-    assert(r3.rowsProcessed == 1L, "restored row is recovered")
+    assert(r3.rowsProcessed == 1L,
+      "restored row is recovered despite the orphaned ledger entry")
     // published and visible to committed readers; no duplicates anywhere
     val visible = Route.sinkNames
       .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
