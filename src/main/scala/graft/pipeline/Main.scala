@@ -85,17 +85,36 @@ object Main {
         Lineage.Commit(batchId, d, sealableEnd(d).get, 0L, now)
     }
 
+    // the manifest records exactly the rows THIS CYCLE'S COMMIT STRANDS:
+    // deferred rows at or below the watermark the commit is about to
+    // write (incl. seals). A stranded row is invisible to normal
+    // discovery from this moment on — the watermark never retreats — so
+    // the manifest and the normal path can NEVER both deliver a row
+    // (redrive exactly-once is structural, not best-effort). Deferred
+    // rows still ABOVE the new watermark are deliberately NOT
+    // manifested: normal discovery re-evaluates them next cycle, and a
+    // later cycle manifests them if and when it strands them.
+    val effWms: Map[String, Timestamp] = wms ++
+      newWms.map { case (d, mx, _) => d -> sealed_(d, mx) } ++
+      sealCommits.map(c => c.day -> c.last_ts)
+    def writeStranded(): Unit = if (s6Configured && effWms.nonEmpty) {
+      val effDf = effWms.toSeq.toDF("day", "_effwm")
+      Sinks.writeDeferred(
+        deferredCold.join(broadcast(effDf), Seq("day"))
+          .filter(col("ts") <= col("_effwm")).drop("_effwm"),
+        cfg.sinkRoot, batchId)
+    }
+
     if (total == 0L) {
       routed.unpersist()
       // progress without data: sealing-only commit (no publish happened
       // under this batchId, so the id's presence in lineage is inert for
-      // sink readers). The deferred-cold manifest is STILL written —
-      // skipped cold rows of a day about to seal must be recorded
-      // BEFORE the seal makes them undiscoverable, or the "nothing
-      // silently lost" invariant breaks exactly when it matters
+      // sink readers). The stranded manifest is STILL written — skipped
+      // cold rows of a day about to seal must be recorded BEFORE the
+      // seal makes them undiscoverable, or the "nothing silently lost"
+      // invariant breaks exactly when it matters
       if (sealCommits.nonEmpty) {
-        if (s6Configured)
-          Sinks.writeDeferred(deferredCold, cfg.sinkRoot, batchId)
+        writeStranded()
         Lineage.commitAt(spark, lineageDir, sealCommits)
         Lineage.compactAt(spark, lineageDir)
       }
@@ -111,13 +130,12 @@ object Main {
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
       Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
-    // S6: persist the skipped-cold complement so a row whose restore
+    // S6: persist the STRANDED skipped-cold rows so a row whose restore
     // completes after the watermark has passed it is re-drivable (the
     // reference silently loses it, s3.rb:152-156). Same pinned snapshot
     // as the delta; one extra pushed-filter scan per cycle, paid only
     // when storage columns are configured.
-    if (s6Configured)
-      Sinks.writeDeferred(deferredCold, cfg.sinkRoot, batchId)
+    writeStranded()
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     val newDays = newWms.map(_._1).toSet
     Lineage.commitAt(spark, lineageDir,
@@ -127,6 +145,9 @@ object Main {
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
+    if (s6Configured) // retire resolved manifests (no-op below threshold)
+      Sinks.compactDeferred(spark, cfg.sinkRoot,
+        Lineage.committedBatchesAt(spark, lineageDir))
     routed.unpersist()
     CycleResult(batchId, total, published)
   }
@@ -159,23 +180,38 @@ object Main {
   def redriveDeferred(spark: SparkSession, cfg: PipelineConfig,
       asOf: Timestamp): CycleResult = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     val lineageDir = Lineage.dirFor(cfg)
     val wms = Lineage.watermarksAt(spark, lineageDir)
+    val committed = Lineage.committedBatchesAt(spark, lineageDir)
+
+    // a ledger entry only counts if its batch COMMITTED: the write order
+    // below is publish -> ledger -> commit, so every crash window
+    // resolves to exactly-once — an uncommitted ledger (crash before
+    // commit) is ignored and the keys re-drive; a committed one excludes
+    // them; an orphaned publish (crash before ledger) is invisible to
+    // readers and simply re-driven under a fresh batch id
+    val manifestDirs = Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_deferred")
+    val ledgerDirs = Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_redriven")
+      .filter(d => committed.contains(d.split("batch=").last))
+
+    // the batch id hashes the REDRIVE state (the committed ledger set),
+    // not the day watermarks — redrives never advance watermarks, so an
+    // (asOf, wms) id would collide across two successful redrives at a
+    // pinned asOf and the second publish would REPLACE the first's
+    // committed rows. Same-state re-runs (crash recovery) still
+    // reproduce the same id, keeping the publish idempotent.
+    val ledgerState = ledgerDirs.map(_.split("batch=").last).sorted
+      .mkString(",")
     val batchId = Lineage.batchId(asOf, wms,
-      Lineage.checkpointId(cfg) + "|redrive")
+      s"${Lineage.checkpointId(cfg)}|redrive|$ledgerState")
+    // nothing manifested, or nothing ever committed -> nothing can be
+    // behind a watermark: return WITHOUT touching the input table
+    if (manifestDirs.isEmpty || wms.isEmpty)
+      return CycleResult(batchId, 0L, Seq.empty)
 
-    def batchDirs(root: String): Seq[String] = {
-      val p = new Path(root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch=")).map(_.toString)
-    }
-    val manifestDirs = batchDirs(s"${cfg.sinkRoot}/_deferred")
-    if (manifestDirs.isEmpty) return CycleResult(batchId, 0L, Seq.empty)
-
-    // pending = manifested keys, behind-the-watermark, not yet re-driven
+    // pending = manifested keys, behind-the-watermark, not yet re-driven.
+    // Manifest + ledger are small (skipped-cold rows only); everything
+    // here stays off the input table until pending is known non-empty.
     val manifested = spark.read.parquet(manifestDirs: _*)
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("day"))
       .distinct()
@@ -183,46 +219,62 @@ object Main {
     val behindWm = manifested.join(broadcast(wmDf), Seq("day"))
       .filter(col("ts") <= col("_wm"))
       .select(col("conv_id"), col("turn_idx"))
-    // a ledger entry only counts if its batch COMMITTED: the write order
-    // below is publish -> ledger -> commit, so every crash window
-    // resolves to exactly-once — an uncommitted ledger (crash before
-    // commit) is ignored and the keys re-drive; a committed one excludes
-    // them; an orphaned publish (crash before ledger) is invisible to
-    // readers and simply re-driven under a fresh batch id
-    val committed = Lineage.committedBatchesAt(spark, lineageDir)
-    val ledgerDirs = batchDirs(s"${cfg.sinkRoot}/_redriven")
-      .filter(d => committed.contains(d.split("batch=").last))
     val pending =
-      if (ledgerDirs.isEmpty) behindWm
-      else behindWm.join(spark.read.parquet(ledgerDirs: _*),
-        Seq("conv_id", "turn_idx"), "left_anti")
+      (if (ledgerDirs.isEmpty) behindWm
+       else behindWm.join(spark.read.parquet(ledgerDirs: _*),
+         Seq("conv_id", "turn_idx"), "left_anti")).cache()
+    if (pending.count() == 0L) {
+      pending.unpersist()
+      return CycleResult(batchId, 0L, Seq.empty)
+    }
 
-    // current source state for exactly the pending keys. The watermark
-    // map is deliberately EMPTY: these keys are behind the committed
-    // watermark (and possibly in sealed days), which is precisely why
-    // normal discovery can no longer see them.
+    // current source state for exactly the pending keys — the ONE full
+    // input read this op pays, and only once pending is known non-empty.
+    // The watermark map is deliberately EMPTY: these keys are behind the
+    // committed watermark (and possibly in sealed days), which is
+    // precisely why normal discovery can no longer see them.
     val current = Discover.deltaAndDeferred(spark, cfg, asOf, Map.empty)
     val eligibleNow = current._1
       .join(broadcast(pending), Seq("conv_id", "turn_idx"), "left_semi")
       .cache()
     val redrivenKeys = eligibleNow.select(col("conv_id"), col("turn_idx"))
     val total = eligibleNow.count()
-    if (total == 0L) { eligibleNow.unpersist(); return CycleResult(batchId, 0L, Seq.empty) }
+    pending.unpersist()
+    if (total == 0L) {
+      eligibleNow.unpersist()
+      return CycleResult(batchId, 0L, Seq.empty)
+    }
 
+    // a re-driven batch is a FIRST-CLASS batch: same staged publish,
+    // same archive copy, same metrics, same consumption mark as a
+    // normal cycle — it differs only in never advancing a watermark
     val routed = Pipeline(eligibleNow.as[Turn](
       org.apache.spark.sql.Encoders.product[Turn]),
       cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
+      .cache()
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
+    if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
+      Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
     // ledger BEFORE commit — see the crash-window analysis above
     redrivenKeys.write.mode("overwrite")
       .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId")
+    Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     val now = new Timestamp(System.currentTimeMillis())
     val days = eligibleNow.groupBy(col("day"))
       .agg(max(col("ts")).as("mx"), count(lit(1)).as("n")).collect()
       .map(r => Lineage.Commit(batchId, r.getString(0), r.getTimestamp(1),
         r.getLong(2), now)).toSeq
     Lineage.commitAt(spark, lineageDir, days)
+    Lineage.compactAt(spark, lineageDir)
+    if (cfg.deleteAfterProcess)
+      Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
+    // retire fully-resolved history: fold manifests minus the committed
+    // ledger into one compact dir so the namespaces stay O(pending),
+    // not O(cycles)
+    Sinks.compactDeferred(spark, cfg.sinkRoot,
+      Lineage.committedBatchesAt(spark, lineageDir))
+    routed.unpersist()
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)
   }

@@ -114,6 +114,50 @@ object Sinks {
     dest
   }
 
+  /** List `batch=*` child dirs of a namespace root (empty if absent). */
+  def batchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+  }
+
+  /** Retire resolved deferred/redriven history: when the `_deferred`
+    * namespace exceeds `maxDirs` per-batch dirs, fold every manifest
+    * MINUS the committed-ledger keys into one compacted dir and delete
+    * the folded inputs (manifests AND the ledger dirs they absorbed).
+    * Keeps both namespaces O(pending backlog), not O(cycles) — the
+    * `_lineage` compaction discipline applied here.
+    *
+    * Crash-safe by ordering, tolerant of duplicates like every reader:
+    * compacted dir first (old + new coexisting only duplicates keys,
+    * which redrive's distinct/anti-join absorb), then the listed
+    * manifest dirs, then the folded ledger dirs (a leftover ledger
+    * entry merely anti-joins against nothing). Only dirs LISTED before
+    * the rewrite are deleted — concurrent appends are never touched.
+    */
+  def compactDeferred(spark: SparkSession, root: String,
+      committedBatches: Set[String], maxDirs: Int = 64): Boolean = {
+    val manifestDirs = batchDirs(spark, s"$root/_deferred")
+    if (manifestDirs.length <= maxDirs) return false
+    val ledgerDirs = batchDirs(spark, s"$root/_redriven")
+      .filter(d => committedBatches.contains(d.split("batch=").last))
+    val all = spark.read.parquet(manifestDirs: _*).distinct()
+    val remaining =
+      if (ledgerDirs.isEmpty) all
+      else all.join(spark.read.parquet(ledgerDirs: _*),
+        Seq("conv_id", "turn_idx"), "left_anti")
+    remaining.write.mode("overwrite")
+      .parquet(s"$root/_deferred/batch=compacted-${System.nanoTime()}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (manifestDirs ++ ledgerDirs).foreach { d =>
+      val p = new Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    true
+  }
+
   /** S16 `delete` analog (s3.rb:181-183): after a successful commit, the
     * batch's consumed (conv_id, day) set is recorded in a per-batch
     * manifest. Our engine NEVER destroys source data — the manifest IS

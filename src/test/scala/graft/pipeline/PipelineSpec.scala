@@ -1120,4 +1120,125 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Main.runCycle(spark, cfg,
       at("2025-07-06T00:00:00Z")).rowsProcessed == 0L)
   }
+
+  test("stranding discipline: a deferred row still AHEAD of the watermark " +
+      "is not manifested — it flows through normal discovery exactly once " +
+      "and redrive never double-publishes it") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, sc: String, rh: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso), sc, rh,
+        "2025-08-01")
+    val in = s"$scratch/st_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "storage_class", "restore_hdr", "day")
+    // cold row ts 10:00 is AHEAD of the watermark cycle 1 will commit
+    // (warm max = 09:00) — the old behavior would still manifest it, and
+    // a later normal cycle + redrive would then BOTH deliver it
+    Seq(row("warm", "STANDARD", null, "2025-08-01T09:00:00Z"),
+        row("cold", "GLACIER", null, "2025-08-01T10:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/st_sinks",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      cutoffSeconds = 3)
+
+    val r1 = Main.runCycle(spark, cfg, at("2025-08-02T00:00:00Z"))
+    assert(r1.rowsProcessed == 1L)
+    val m1 = spark.read
+      .parquet(s"${cfg.sinkRoot}/_deferred/batch=${r1.batchId}")
+    assert(m1.count() == 0L,
+      "a deferred row the watermark has NOT passed must not be manifested")
+
+    // restore completes in the source; the NORMAL path picks it up
+    Seq(row("warm", "STANDARD", null, "2025-08-01T09:00:00Z"),
+        row("cold", "GLACIER",
+          "ongoing-request=\"false\", expiry-date=\"2027-01-01 00:00:00\"",
+          "2025-08-01T10:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val r2 = Main.runCycle(spark, cfg, at("2025-08-03T00:00:00Z"))
+    assert(r2.rowsProcessed == 1L, "normal discovery delivers the restored row")
+
+    // redrive finds nothing pending — no double publish
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2025-08-04T00:00:00Z")).rowsProcessed == 0L)
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
+      .reduce(_ unionByName _)
+      .collect().map(_.getString(0)).sorted
+    assert(visible.toSeq == Seq("cold", "warm"),
+      s"exactly one copy each, got ${visible.mkString(",")}")
+  }
+
+  test("two successful redrives at the SAME pinned asOf get distinct " +
+      "batch ids — the second must not replace the first's committed rows") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, sc: String, rh: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso), sc, rh,
+        "2025-10-01")
+    val in = s"$scratch/rr_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "storage_class", "restore_hdr", "day")
+    def writeInput(restored: Set[String]): Unit = {
+      def hdr(c: String) = if (restored(c))
+        "ongoing-request=\"false\", expiry-date=\"2027-01-01 00:00:00\""
+        else null
+      Seq(row("warm", "STANDARD", null, "2025-10-01T09:00:00Z"),
+          row("cold1", "GLACIER", hdr("cold1"), "2025-10-01T10:00:00Z"),
+          row("cold2", "GLACIER", hdr("cold2"), "2025-10-01T11:00:00Z"))
+        .toDF(cols: _*).write.mode("overwrite").partitionBy("day")
+        .parquet(in)
+    }
+    writeInput(Set.empty)
+    val cfg = PipelineConfig(in, s"$scratch/rr_sinks",
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      cutoffSeconds = 3, sealDaysGraceSeconds = 0)
+    assert(Main.runCycle(spark, cfg,
+      at("2025-10-03T00:00:00Z")).rowsProcessed == 1L)
+
+    val pinned = at("2025-10-05T00:00:00Z") // operator pins --as-of
+    writeInput(Set("cold1"))
+    val rA = Main.redriveDeferred(spark, cfg, pinned)
+    assert(rA.rowsProcessed == 1L)
+    writeInput(Set("cold1", "cold2"))
+    val rB = Main.redriveDeferred(spark, cfg, pinned)
+    assert(rB.rowsProcessed == 1L)
+    assert(rA.batchId != rB.batchId,
+      "redrive ids must depend on the ledger state, not only (asOf, wms)")
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
+      .reduce(_ unionByName _)
+      .collect().map(_.getString(0)).sorted
+    assert(visible.toSeq == Seq("cold1", "cold2", "warm"),
+      s"no clobber: got ${visible.mkString(",")}")
+  }
+
+  test("deferred/ledger compaction folds resolved history, keeps pending, " +
+      "ignores uncommitted ledgers") {
+    val root = s"$scratch/cdf_root"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    def manifest(b: String, keys: (String, Int)*): Unit =
+      keys.map { case (c, i) => (c, i, ts0, "2025-09-01") }
+        .toDF("conv_id", "turn_idx", "ts", "day")
+        .write.mode("overwrite").parquet(s"$root/_deferred/batch=$b")
+    def ledger(b: String, keys: (String, Int)*): Unit =
+      keys.toSeq.toDF("conv_id", "turn_idx")
+        .write.mode("overwrite").parquet(s"$root/_redriven/batch=$b")
+    manifest("a", ("k1", 0))
+    manifest("b", ("k1", 0), ("k2", 0))
+    manifest("c", ("k3", 0))
+    ledger("x", ("k1", 0)) // committed -> folds, k1 retired
+    ledger("y", ("k2", 0)) // NOT committed -> kept, k2 stays pending
+
+    assert(!Sinks.compactDeferred(spark, root, Set("x"), maxDirs = 16),
+      "below threshold: no-op")
+    assert(Sinks.compactDeferred(spark, root, Set("x"), maxDirs = 2))
+    val mDirs = Sinks.batchDirs(spark, s"$root/_deferred")
+    assert(mDirs.size == 1 && mDirs.head.contains("batch=compacted-"))
+    val remaining = spark.read.parquet(mDirs.head)
+      .select($"conv_id").collect().map(_.getString(0)).sorted
+    assert(remaining.toSeq == Seq("k2", "k3"),
+      s"k1 retired via committed ledger, got ${remaining.mkString(",")}")
+    val lDirs = Sinks.batchDirs(spark, s"$root/_redriven")
+    assert(lDirs.map(_.split("batch=").last).toSet == Set("y"),
+      "committed ledger folded away; uncommitted one untouched")
+  }
 }
