@@ -121,35 +121,52 @@ object Main {
       return CycleResult(batchId, 0L, Seq.empty)
     }
 
-    // 6. staged write -> 7. atomic publish -> 8. archive copy (iff
-    // configured; BEFORE the commit, like the reference's backup-then-
-    // sincedb ordering s3.rb:169-183, 380-388) -> 9. metrics -> 10.
-    // commit -> 11. consumption mark (the `delete` analog, only after
-    // the commit succeeded — the reference likewise deletes last)
+    // steps 6-12 are the shared publish discipline ([[publishBatch]]);
+    // the cycle's beforeCommit hook persists the stranded manifest
+    // (S6: a row whose restore completes after the watermark has passed
+    // it stays re-drivable — the reference silently loses it,
+    // s3.rb:152-156; same pinned snapshot as the delta, one extra
+    // pushed-filter scan paid only when storage columns are configured)
+    val newDays = newWms.map(_._1).toSet
+    val commits = newWms.map { case (d, mx, n) =>
+      Lineage.Commit(batchId, d, sealed_(d, mx), n, now)
+    }.toSeq ++ sealCommits.filterNot(c => newDays.contains(c.day))
+    val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
+      commits, () => writeStranded())
+    routed.unpersist()
+    CycleResult(batchId, total, published)
+  }
+
+  /** The publish discipline every batch (normal or re-driven) follows:
+    * staged write -> atomic publish -> archive copy (iff configured;
+    * BEFORE the commit, like the reference's backup-then-sincedb
+    * ordering s3.rb:169-183, 380-388) -> the caller's pre-commit hook
+    * (stranded manifest / redrive ledger) -> metrics -> lineage commit
+    * -> lineage compaction -> consumption mark (the `delete` analog,
+    * only after the commit succeeded — the reference likewise deletes
+    * last) -> deferred-namespace retirement. ONE definition so the two
+    * callers cannot drift (the redrive path re-converging on this
+    * sequence is how it got archive/metrics/consumption in the first
+    * place).
+    */
+  private def publishBatch(spark: SparkSession, cfg: PipelineConfig,
+      lineageDir: String, batchId: String,
+      routed: org.apache.spark.sql.DataFrame,
+      commits: Seq[Lineage.Commit], beforeCommit: () => Unit): Seq[String] = {
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
       Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
-    // S6: persist the STRANDED skipped-cold rows so a row whose restore
-    // completes after the watermark has passed it is re-drivable (the
-    // reference silently loses it, s3.rb:152-156). Same pinned snapshot
-    // as the delta; one extra pushed-filter scan per cycle, paid only
-    // when storage columns are configured.
-    writeStranded()
+    beforeCommit()
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
-    val newDays = newWms.map(_._1).toSet
-    Lineage.commitAt(spark, lineageDir,
-      newWms.map { case (d, mx, n) =>
-        Lineage.Commit(batchId, d, sealed_(d, mx), n, now)
-      }.toSeq ++ sealCommits.filterNot(c => newDays.contains(c.day)))
+    Lineage.commitAt(spark, lineageDir, commits)
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    if (s6Configured) // retire resolved manifests (no-op below threshold)
+    if (cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty)
       Sinks.compactDeferred(spark, cfg.sinkRoot,
         Lineage.committedBatchesAt(spark, lineageDir))
-    routed.unpersist()
-    CycleResult(batchId, total, published)
+    published
   }
 
   /** Re-drive the deferred-cold backlog: process manifest rows whose
@@ -184,26 +201,40 @@ object Main {
     val wms = Lineage.watermarksAt(spark, lineageDir)
     val committed = Lineage.committedBatchesAt(spark, lineageDir)
 
-    // a ledger entry only counts if its batch COMMITTED: the write order
+    // manifests AND ledger entries only count if their batch COMMITTED
+    // (or are compaction survivors): an orphan manifest from a cycle
+    // that crashed before its commit describes a stranding that never
+    // happened — its rows are still normally discoverable, so honoring
+    // it would let both paths deliver them. The ledger write order
     // below is publish -> ledger -> commit, so every crash window
     // resolves to exactly-once — an uncommitted ledger (crash before
-    // commit) is ignored and the keys re-drive; a committed one excludes
-    // them; an orphaned publish (crash before ledger) is invisible to
-    // readers and simply re-driven under a fresh batch id
-    val manifestDirs = Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_deferred")
-    val ledgerDirs = Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_redriven")
-      .filter(d => committed.contains(d.split("batch=").last))
+    // commit) is ignored and the keys re-drive; a committed one
+    // excludes them; an orphaned publish (crash before ledger) is
+    // invisible to readers and simply re-driven under a fresh batch id.
+    def committedOnly(dirs: Seq[String]): Seq[String] = dirs.filter { d =>
+      val b = d.split("batch=").last
+      b.startsWith("compacted-") || committed.contains(b)
+    }
+    val manifestDirs =
+      committedOnly(Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_deferred"))
+    val ledgerDirs =
+      committedOnly(Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_redriven"))
 
-    // the batch id hashes the REDRIVE state (the committed ledger set),
-    // not the day watermarks — redrives never advance watermarks, so an
-    // (asOf, wms) id would collide across two successful redrives at a
-    // pinned asOf and the second publish would REPLACE the first's
-    // committed rows. Same-state re-runs (crash recovery) still
-    // reproduce the same id, keeping the publish idempotent.
-    val ledgerState = ledgerDirs.map(_.split("batch=").last).sorted
-      .mkString(",")
+    // the batch id hashes the COMMITTED-BATCH SET from lineage (which
+    // survives every compaction), not the day watermarks — redrives
+    // never advance watermarks, so an (asOf, wms) id would collide
+    // across two successful redrives at a pinned asOf and the second
+    // publish would REPLACE the first's committed rows. Each successful
+    // redrive's own commit changes the set, so consecutive redrives get
+    // distinct ids, while a same-state crash re-run reproduces the same
+    // id and republishes idempotently.
+    val stateHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
     val batchId = Lineage.batchId(asOf, wms,
-      s"${Lineage.checkpointId(cfg)}|redrive|$ledgerState")
+      s"${Lineage.checkpointId(cfg)}|redrive|$stateHash")
     // nothing manifested, or nothing ever committed -> nothing can be
     // behind a watermark: return WITHOUT touching the input table
     if (manifestDirs.isEmpty || wms.isEmpty)
@@ -245,35 +276,24 @@ object Main {
       return CycleResult(batchId, 0L, Seq.empty)
     }
 
-    // a re-driven batch is a FIRST-CLASS batch: same staged publish,
-    // same archive copy, same metrics, same consumption mark as a
-    // normal cycle — it differs only in never advancing a watermark
+    // a re-driven batch is a FIRST-CLASS batch: the same publish
+    // discipline as a normal cycle (publishBatch), the ledger write as
+    // its pre-commit hook — it differs only in never advancing a
+    // watermark
     val routed = Pipeline(eligibleNow.as[Turn](
       org.apache.spark.sql.Encoders.product[Turn]),
       cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
       .cache()
-    Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
-    val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
-    if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
-      Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
-    // ledger BEFORE commit — see the crash-window analysis above
-    redrivenKeys.write.mode("overwrite")
-      .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId")
-    Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     val now = new Timestamp(System.currentTimeMillis())
     val days = eligibleNow.groupBy(col("day"))
       .agg(max(col("ts")).as("mx"), count(lit(1)).as("n")).collect()
       .map(r => Lineage.Commit(batchId, r.getString(0), r.getTimestamp(1),
         r.getLong(2), now)).toSeq
-    Lineage.commitAt(spark, lineageDir, days)
-    Lineage.compactAt(spark, lineageDir)
-    if (cfg.deleteAfterProcess)
-      Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    // retire fully-resolved history: fold manifests minus the committed
-    // ledger into one compact dir so the namespaces stay O(pending),
-    // not O(cycles)
-    Sinks.compactDeferred(spark, cfg.sinkRoot,
-      Lineage.committedBatchesAt(spark, lineageDir))
+    val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
+      days,
+      // ledger BEFORE commit — see the crash-window analysis above
+      () => redrivenKeys.write.mode("overwrite")
+        .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId"))
     routed.unpersist()
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)

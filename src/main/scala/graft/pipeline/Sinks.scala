@@ -138,23 +138,42 @@ object Sinks {
     * the rewrite are deleted — concurrent appends are never touched.
     */
   def compactDeferred(spark: SparkSession, root: String,
-      committedBatches: Set[String], maxDirs: Int = 64): Boolean = {
-    val manifestDirs = batchDirs(spark, s"$root/_deferred")
-    if (manifestDirs.length <= maxDirs) return false
-    val ledgerDirs = batchDirs(spark, s"$root/_redriven")
-      .filter(d => committedBatches.contains(d.split("batch=").last))
-    val all = spark.read.parquet(manifestDirs: _*).distinct()
-    val remaining =
-      if (ledgerDirs.isEmpty) all
-      else all.join(spark.read.parquet(ledgerDirs: _*),
-        Seq("conv_id", "turn_idx"), "left_anti")
-    remaining.write.mode("overwrite")
-      .parquet(s"$root/_deferred/batch=compacted-${System.nanoTime()}")
-    val conf = spark.sparkContext.hadoopConfiguration
-    (manifestDirs ++ ledgerDirs).foreach { d =>
-      val p = new Path(d)
-      p.getFileSystem(conf).delete(p, true)
+      committedBatches: => Set[String], maxDirs: Int = 64): Boolean = {
+    val allManifest = batchDirs(spark, s"$root/_deferred")
+    // cheap listing guard FIRST — the committed set (a lineage read +
+    // driver collect) is by-name and only evaluated past the threshold
+    if (allManifest.length <= maxDirs) return false
+    val committed = committedBatches
+    def split(dirs: Seq[String]): (Seq[String], Seq[String]) =
+      dirs.partition { d =>
+        val b = d.split("batch=").last
+        b.startsWith("compacted-") || committed.contains(b)
+      }
+    val (manifestDirs, manifestOrphans) = split(allManifest)
+    val (ledgerDirs, ledgerOrphans) =
+      split(batchDirs(spark, s"$root/_redriven"))
+    if (manifestDirs.nonEmpty) {
+      val all = spark.read.parquet(manifestDirs: _*).distinct()
+      val remaining =
+        if (ledgerDirs.isEmpty) all
+        else all.join(spark.read.parquet(ledgerDirs: _*),
+          Seq("conv_id", "turn_idx"), "left_anti")
+      remaining.write.mode("overwrite")
+        .parquet(s"$root/_deferred/batch=compacted-${System.nanoTime()}")
     }
+    // orphans (dirs whose batch never committed) are crash leftovers —
+    // this engine is single-writer per checkpoint identity (the same
+    // assumption behind the staged publish's delete+rename), so nothing
+    // in-flight can own them. An orphan manifest describes a stranding
+    // whose commit never happened (its rows are still normally
+    // discoverable); an orphan ledger is ignored by every reader. Both
+    // are deleted here so crash debris cannot accumulate forever.
+    val conf = spark.sparkContext.hadoopConfiguration
+    (manifestDirs ++ ledgerDirs ++ manifestOrphans ++ ledgerOrphans)
+      .foreach { d =>
+        val p = new Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
     true
   }
 

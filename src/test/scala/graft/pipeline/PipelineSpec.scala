@@ -1225,20 +1225,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     manifest("a", ("k1", 0))
     manifest("b", ("k1", 0), ("k2", 0))
     manifest("c", ("k3", 0))
+    manifest("d", ("k9", 0)) // NEVER committed: a crashed cycle's orphan
     ledger("x", ("k1", 0)) // committed -> folds, k1 retired
-    ledger("y", ("k2", 0)) // NOT committed -> kept, k2 stays pending
+    ledger("y", ("k2", 0)) // NOT committed: crashed-redrive orphan
 
-    assert(!Sinks.compactDeferred(spark, root, Set("x"), maxDirs = 16),
+    val committed = Set("a", "b", "c", "x")
+    assert(!Sinks.compactDeferred(spark, root, committed, maxDirs = 16),
       "below threshold: no-op")
-    assert(Sinks.compactDeferred(spark, root, Set("x"), maxDirs = 2))
+    assert(Sinks.compactDeferred(spark, root, committed, maxDirs = 2))
     val mDirs = Sinks.batchDirs(spark, s"$root/_deferred")
     assert(mDirs.size == 1 && mDirs.head.contains("batch=compacted-"))
     val remaining = spark.read.parquet(mDirs.head)
       .select($"conv_id").collect().map(_.getString(0)).sorted
     assert(remaining.toSeq == Seq("k2", "k3"),
-      s"k1 retired via committed ledger, got ${remaining.mkString(",")}")
-    val lDirs = Sinks.batchDirs(spark, s"$root/_redriven")
-    assert(lDirs.map(_.split("batch=").last).toSet == Set("y"),
-      "committed ledger folded away; uncommitted one untouched")
+      "k1 retired via committed ledger; orphan manifest's k9 dropped " +
+        s"(its stranding never committed) — got ${remaining.mkString(",")}")
+    assert(Sinks.batchDirs(spark, s"$root/_redriven").isEmpty,
+      "committed ledger folded away; orphan ledger cleaned up")
   }
 }
