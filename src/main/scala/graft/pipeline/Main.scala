@@ -264,9 +264,12 @@ object Main {
     // The watermark map is deliberately EMPTY: these keys are behind the
     // committed watermark (and possibly in sealed days), which is
     // precisely why normal discovery can no longer see them.
+    // No broadcast HINT on pending: usually tiny (AQE broadcasts it),
+    // but a years-long cold backlog could be arbitrarily large and a
+    // forced broadcast would OOM the driver — let the planner pick.
     val current = Discover.deltaAndDeferred(spark, cfg, asOf, Map.empty)
     val eligibleNow = current._1
-      .join(broadcast(pending), Seq("conv_id", "turn_idx"), "left_semi")
+      .join(pending, Seq("conv_id", "turn_idx"), "left_semi")
       .cache()
     val redrivenKeys = eligibleNow.select(col("conv_id"), col("turn_idx"))
     val total = eligibleNow.count()
