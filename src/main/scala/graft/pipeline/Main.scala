@@ -38,8 +38,6 @@ object Main {
     // 2. discovery: the unprocessed, cutoff-eligible delta plus the
     // skipped-cold complement — ONE pinned listing for both sides
     val (delta, deferredCold) = Discover.deltaAndDeferred(spark, cfg, asOf, wms)
-    val s6Configured =
-      cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
     // so consumers that drop columns shuffle less — see Pipeline)
@@ -97,12 +95,12 @@ object Main {
     val effWms: Map[String, Timestamp] = wms ++
       newWms.map { case (d, mx, _) => d -> sealed_(d, mx) } ++
       sealCommits.map(c => c.day -> c.last_ts)
-    def writeStranded(): Unit = if (s6Configured && effWms.nonEmpty) {
+    def writeStranded(): Unit = if (cfg.s6Configured && effWms.nonEmpty) {
       val effDf = effWms.toSeq.toDF("day", "_effwm")
       Sinks.writeDeferred(
         deferredCold.join(broadcast(effDf), Seq("day"))
           .filter(col("ts") <= col("_effwm")).drop("_effwm"),
-        cfg.sinkRoot, batchId)
+        cfg.sinkRoot, Lineage.checkpointId(cfg), batchId)
     }
 
     if (total == 0L) {
@@ -163,8 +161,8 @@ object Main {
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    if (cfg.storageClassCol != null && cfg.storageClassCol.nonEmpty)
-      Sinks.compactDeferred(spark, cfg.sinkRoot,
+    if (cfg.s6Configured)
+      Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
         Lineage.committedBatchesAt(spark, lineageDir))
     published
   }
@@ -191,13 +189,15 @@ object Main {
     *    construction).
     *
     * Plan shape: the manifest/ledger sides are small (skipped-cold rows
-    * only) and broadcast; the one full input read is semi-joined down to
-    * exactly the pending keys before any wide operator runs.
+    * only); the one full input read is semi-joined down to exactly the
+    * pending keys before any wide operator runs (join strategy left to
+    * the planner — see the inline note on backlog size).
     */
   def redriveDeferred(spark: SparkSession, cfg: PipelineConfig,
       asOf: Timestamp): CycleResult = {
     import spark.implicits._
     val lineageDir = Lineage.dirFor(cfg)
+    val cid = Lineage.checkpointId(cfg)
     val wms = Lineage.watermarksAt(spark, lineageDir)
     val committed = Lineage.committedBatchesAt(spark, lineageDir)
 
@@ -211,14 +211,12 @@ object Main {
     // commit) is ignored and the keys re-drive; a committed one
     // excludes them; an orphaned publish (crash before ledger) is
     // invisible to readers and simply re-driven under a fresh batch id.
-    def committedOnly(dirs: Seq[String]): Seq[String] = dirs.filter { d =>
-      val b = d.split("batch=").last
-      b.startsWith("compacted-") || committed.contains(b)
-    }
-    val manifestDirs =
-      committedOnly(Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_deferred"))
-    val ledgerDirs =
-      committedOnly(Sinks.batchDirs(spark, s"${cfg.sinkRoot}/_redriven"))
+    val manifestDirs = Sinks.partitionCommitted(
+      Sinks.batchDirs(spark, Sinks.deferredDir(cfg.sinkRoot, cid)),
+      committed)._1
+    val ledgerDirs = Sinks.partitionCommitted(
+      Sinks.batchDirs(spark, Sinks.redrivenDir(cfg.sinkRoot, cid)),
+      committed)._1
 
     // the batch id hashes the COMMITTED-BATCH SET from lineage (which
     // survives every compaction), not the day watermarks — redrives
@@ -233,8 +231,7 @@ object Main {
       md.digest(committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     }
-    val batchId = Lineage.batchId(asOf, wms,
-      s"${Lineage.checkpointId(cfg)}|redrive|$stateHash")
+    val batchId = Lineage.batchId(asOf, wms, s"$cid|redrive|$stateHash")
     // nothing manifested, or nothing ever committed -> nothing can be
     // behind a watermark: return WITHOUT touching the input table
     if (manifestDirs.isEmpty || wms.isEmpty)
@@ -295,8 +292,8 @@ object Main {
     val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
       days,
       // ledger BEFORE commit — see the crash-window analysis above
-      () => redrivenKeys.write.mode("overwrite")
-        .parquet(s"${cfg.sinkRoot}/_redriven/batch=$batchId"))
+      () => redrivenKeys.write.mode("overwrite").parquet(
+        s"${Sinks.redrivenDir(cfg.sinkRoot, cid)}/batch=$batchId"))
     routed.unpersist()
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)

@@ -118,7 +118,16 @@ case class PipelineConfig(
     lineagePath: String = null,
     backupAddPrefix: String = null,
     deleteAfterProcess: Boolean = false,
-    sealDaysGraceSeconds: Int = -1)
+    sealDaysGraceSeconds: Int = -1) {
+
+  /** The ONE definition of "S6 is configured" (empty string == null ==
+    * disabled) — gates the eligibility predicate, the schema extension,
+    * the stranded-manifest write, and the deferred-namespace compaction,
+    * which must never disagree.
+    */
+  def s6Configured: Boolean =
+    storageClassCol != null && storageClassCol.nonEmpty
+}
 
 object Schema {
   import org.apache.spark.sql.types._

@@ -101,6 +101,16 @@ object Sinks {
     dest
   }
 
+  /** The deferred/redriven namespaces are keyed by CHECKPOINT IDENTITY,
+    * exactly like the identity-keyed lineage: two pipelines sharing a
+    * sinkRoot (or one pipeline whose discovery config changes) must
+    * never read — or, worse, orphan-clean — each other's backlog.
+    */
+  def deferredDir(root: String, checkpointId: String): String =
+    s"$root/_deferred/$checkpointId"
+  def redrivenDir(root: String, checkpointId: String): String =
+    s"$root/_redriven/$checkpointId"
+
   /** Per-batch manifest of skipped-cold rows (S6): the reference loses
     * an unrestored object forever once sincedb passes its mtime
     * (s3.rb:152-156); we advance the watermark identically but keep the
@@ -108,8 +118,9 @@ object Sinks {
     * full input row incl. the storage columns, so a backfill pipeline
     * can re-evaluate eligibility directly from the manifest.
     */
-  def writeDeferred(deferred: DataFrame, root: String, batchId: String): String = {
-    val dest = s"$root/_deferred/batch=$batchId"
+  def writeDeferred(deferred: DataFrame, root: String, checkpointId: String,
+      batchId: String): String = {
+    val dest = s"${deferredDir(root, checkpointId)}/batch=$batchId"
     deferred.write.mode("overwrite").parquet(dest)
     dest
   }
@@ -122,6 +133,18 @@ object Sinks {
     else fs.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("batch=")).map(_.toString)
   }
+
+  /** THE definition of a recognized (vs orphan) batch dir: its batch id
+    * committed, or it is a compaction survivor. Shared by redrive's
+    * reads and [[compactDeferred]]'s folding/cleanup so the two can
+    * never disagree about which dirs count.
+    */
+  def partitionCommitted(dirs: Seq[String],
+      committed: Set[String]): (Seq[String], Seq[String]) =
+    dirs.partition { d =>
+      val b = d.split("batch=").last
+      b.startsWith("compacted-") || committed.contains(b)
+    }
 
   /** Retire resolved deferred/redriven history: when the `_deferred`
     * namespace exceeds `maxDirs` per-batch dirs, fold every manifest
@@ -137,34 +160,31 @@ object Sinks {
     * entry merely anti-joins against nothing). Only dirs LISTED before
     * the rewrite are deleted — concurrent appends are never touched.
     */
-  def compactDeferred(spark: SparkSession, root: String,
+  def compactDeferred(spark: SparkSession, root: String, checkpointId: String,
       committedBatches: => Set[String], maxDirs: Int = 64): Boolean = {
-    val allManifest = batchDirs(spark, s"$root/_deferred")
+    val allManifest = batchDirs(spark, deferredDir(root, checkpointId))
     // cheap listing guard FIRST — the committed set (a lineage read +
     // driver collect) is by-name and only evaluated past the threshold
     if (allManifest.length <= maxDirs) return false
     val committed = committedBatches
-    def split(dirs: Seq[String]): (Seq[String], Seq[String]) =
-      dirs.partition { d =>
-        val b = d.split("batch=").last
-        b.startsWith("compacted-") || committed.contains(b)
-      }
-    val (manifestDirs, manifestOrphans) = split(allManifest)
-    val (ledgerDirs, ledgerOrphans) =
-      split(batchDirs(spark, s"$root/_redriven"))
+    val (manifestDirs, manifestOrphans) =
+      partitionCommitted(allManifest, committed)
+    val (ledgerDirs, ledgerOrphans) = partitionCommitted(
+      batchDirs(spark, redrivenDir(root, checkpointId)), committed)
     if (manifestDirs.nonEmpty) {
       val all = spark.read.parquet(manifestDirs: _*).distinct()
       val remaining =
         if (ledgerDirs.isEmpty) all
         else all.join(spark.read.parquet(ledgerDirs: _*),
           Seq("conv_id", "turn_idx"), "left_anti")
-      remaining.write.mode("overwrite")
-        .parquet(s"$root/_deferred/batch=compacted-${System.nanoTime()}")
+      remaining.write.mode("overwrite").parquet(
+        s"${deferredDir(root, checkpointId)}/batch=compacted-${System.nanoTime()}")
     }
     // orphans (dirs whose batch never committed) are crash leftovers —
-    // this engine is single-writer per checkpoint identity (the same
-    // assumption behind the staged publish's delete+rename), so nothing
-    // in-flight can own them. An orphan manifest describes a stranding
+    // this engine is single-writer PER CHECKPOINT IDENTITY (the same
+    // assumption behind the staged publish's delete+rename), and the
+    // namespace is identity-scoped, so nothing in-flight and no OTHER
+    // pipeline can own them. An orphan manifest describes a stranding
     // whose commit never happened (its rows are still normally
     // discoverable); an orphan ledger is ignored by every reader. Both
     // are deleted here so crash debris cannot accumulate forever.

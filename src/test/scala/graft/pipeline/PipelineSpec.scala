@@ -939,7 +939,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Main.runCycle(spark, cfg, asOf)
     assert(r.rowsProcessed == rows.count(_._4))
     val deferred = spark.read
-      .parquet(s"${cfg.sinkRoot}/_deferred/batch=${r.batchId}")
+      .parquet(s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r.batchId}")
     assert(deferred.select($"conv_id").collect().map(_.getString(0)).toSet ==
       rows.filterNot(_._4).map(_._1).toSet,
       "the manifest holds exactly the ineligible rows")
@@ -1052,7 +1052,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Discover.completedDays(
       Lineage.watermarks(spark, base2.sinkRoot)) == Set("2025-06-01"))
     val manifestB = spark.read
-      .parquet(s"${base2.sinkRoot}/_deferred/batch=${rB.batchId}")
+      .parquet(s"${Sinks.deferredDir(base2.sinkRoot, Lineage.checkpointId(base2))}/batch=${rB.batchId}")
     assert(manifestB.select($"conv_id").collect().map(_.getString(0)).toSeq
       == Seq("cold"),
       "sealing-only cycle must manifest the rows the seal will hide")
@@ -1097,7 +1097,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ignored — otherwise the keys would be neither published nor ever
     // re-drivable
     Seq(("cold", 0)).toDF("conv_id", "turn_idx").write.mode("overwrite")
-      .parquet(s"${cfg.sinkRoot}/_redriven/batch=deadbeefdeadbeef")
+      .parquet(s"${Sinks.redrivenDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=deadbeefdeadbeef")
 
     val r3 = Main.redriveDeferred(spark, cfg, at("2025-07-05T00:00:00Z"))
     assert(r3.rowsProcessed == 1L,
@@ -1144,7 +1144,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r1 = Main.runCycle(spark, cfg, at("2025-08-02T00:00:00Z"))
     assert(r1.rowsProcessed == 1L)
     val m1 = spark.read
-      .parquet(s"${cfg.sinkRoot}/_deferred/batch=${r1.batchId}")
+      .parquet(s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r1.batchId}")
     assert(m1.count() == 0L,
       "a deferred row the watermark has NOT passed must not be manifested")
 
@@ -1202,7 +1202,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rB = Main.redriveDeferred(spark, cfg, pinned)
     assert(rB.rowsProcessed == 1L)
     assert(rA.batchId != rB.batchId,
-      "redrive ids must depend on the ledger state, not only (asOf, wms)")
+      "redrive ids must depend on the committed-batch state, not only " +
+        "(asOf, wms)")
     val visible = Route.sinkNames
       .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
       .reduce(_ unionByName _)
@@ -1214,14 +1215,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("deferred/ledger compaction folds resolved history, keeps pending, " +
       "ignores uncommitted ledgers") {
     val root = s"$scratch/cdf_root"
+    val cid = "testcheckpointid"
     val ts0 = new Timestamp(Synth.baseEpochMs)
     def manifest(b: String, keys: (String, Int)*): Unit =
       keys.map { case (c, i) => (c, i, ts0, "2025-09-01") }
         .toDF("conv_id", "turn_idx", "ts", "day")
-        .write.mode("overwrite").parquet(s"$root/_deferred/batch=$b")
+        .write.mode("overwrite").parquet(s"${Sinks.deferredDir(root, cid)}/batch=$b")
     def ledger(b: String, keys: (String, Int)*): Unit =
       keys.toSeq.toDF("conv_id", "turn_idx")
-        .write.mode("overwrite").parquet(s"$root/_redriven/batch=$b")
+        .write.mode("overwrite").parquet(s"${Sinks.redrivenDir(root, cid)}/batch=$b")
     manifest("a", ("k1", 0))
     manifest("b", ("k1", 0), ("k2", 0))
     manifest("c", ("k3", 0))
@@ -1229,18 +1231,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ledger("x", ("k1", 0)) // committed -> folds, k1 retired
     ledger("y", ("k2", 0)) // NOT committed: crashed-redrive orphan
 
+    // ANOTHER checkpoint identity's backlog under the same sinkRoot:
+    // compaction of `cid` must never see it, let alone orphan-delete it
+    Seq(("other", 0, ts0, "2025-09-01"))
+      .toDF("conv_id", "turn_idx", "ts", "day").write.mode("overwrite")
+      .parquet(s"${Sinks.deferredDir(root, "othercid")}/batch=z")
+
     val committed = Set("a", "b", "c", "x")
-    assert(!Sinks.compactDeferred(spark, root, committed, maxDirs = 16),
+    assert(!Sinks.compactDeferred(spark, root, cid, committed, maxDirs = 16),
       "below threshold: no-op")
-    assert(Sinks.compactDeferred(spark, root, committed, maxDirs = 2))
-    val mDirs = Sinks.batchDirs(spark, s"$root/_deferred")
+    assert(Sinks.compactDeferred(spark, root, cid, committed, maxDirs = 2))
+    val mDirs = Sinks.batchDirs(spark, Sinks.deferredDir(root, cid))
     assert(mDirs.size == 1 && mDirs.head.contains("batch=compacted-"))
     val remaining = spark.read.parquet(mDirs.head)
       .select($"conv_id").collect().map(_.getString(0)).sorted
     assert(remaining.toSeq == Seq("k2", "k3"),
       "k1 retired via committed ledger; orphan manifest's k9 dropped " +
         s"(its stranding never committed) — got ${remaining.mkString(",")}")
-    assert(Sinks.batchDirs(spark, s"$root/_redriven").isEmpty,
+    assert(Sinks.batchDirs(spark, Sinks.redrivenDir(root, cid)).isEmpty,
       "committed ledger folded away; orphan ledger cleaned up")
+    assert(spark.read
+      .parquet(s"${Sinks.deferredDir(root, "othercid")}/batch=z")
+      .count() == 1L,
+      "cross-identity isolation: another pipeline's backlog untouched")
   }
 }
