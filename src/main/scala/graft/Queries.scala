@@ -1439,6 +1439,42 @@ object Queries {
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free
        FROM p GROUP BY event_type ORDER BY event_type"""
 
+  /** Deterministic stratified sampling: per-language keep rates via the
+    * md5 hash gate ([[TextAnalysis.hashSampleFlag]]) — reproducible in
+    * any engine (the oracle replays the exact md5 digit), verified by
+    * per-stratum counts AND the kept-id checksum (content, not just
+    * cardinality).
+    */
+  def d17(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 8)
+      .when(col("lang").isin("de", "fr"), 4)
+      .otherwise(2)
+    t(spark, dir, "documents")
+      .withColumn("keep",
+        TextAnalysis.hashSampleFlag(col("doc_id"), "s17|", rate))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val d17Sql: String =
+    """WITH s AS (SELECT lang, doc_id,
+         strpos('0123456789abcdef',
+                substr(md5('s17|' || doc_id), 1, 1)) - 1 AS hv,
+         CASE WHEN lang = 'en' THEN 8
+              WHEN lang IN ('de', 'fr') THEN 4
+              ELSE 2 END AS r
+         FROM documents)
+       SELECT lang, count(*) AS n_total,
+              CAST(sum(CASE WHEN hv < r THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN hv < r THEN doc_id ELSE 0 END) AS BIGINT)
+                AS kept_id_sum
+       FROM s GROUP BY lang ORDER BY lang"""
+
   // ---------------------------------------------------------------- //
   // Flagship pipeline queries: a deterministic Turn-shaped transcript //
   // is CONSTRUCTED from the events table (both engines build the      //
@@ -1653,6 +1689,7 @@ object Queries {
     "d14_chunking" -> (d14 _),
     "d15_contamination" -> (d15 _),
     "d16_pii_census" -> (d16 _),
+    "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_cosine_neardup" -> (e02 _),
     "e03_lsh_buckets" -> (e03 _),
@@ -1710,6 +1747,7 @@ object Queries {
     "d14_chunking" -> d14Sql,
     "d15_contamination" -> d15Sql,
     "d16_pii_census" -> d16Sql,
+    "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_cosine_neardup" -> e02Sql,
     "e03_lsh_buckets" -> e03Sql,

@@ -213,6 +213,26 @@ object TextAnalysis {
     }.withColumn("pii_free",
       piiPatterns.map { case (k, _) => col(s"n_$k") === 0L }.reduce(_ && _))
 
+  /** Deterministic hash-gate for stratified sampling: keep a row iff
+    * the first hex digit of md5(salt || key) — a uniform 0..15 value —
+    * falls below `rate16` (so rate16=4 keeps ~4/16 = 25%). Pure narrow
+    * codegen'd expression: sampling decisions are reproducible across
+    * engines, runs, and partitionings (the property a training-data
+    * sample MUST have — `rand()` sampling is neither replayable nor
+    * oracle-checkable), and per-stratum rates are just a column
+    * expression for `rate16`.
+    */
+  def hashSampleFlag(key: Column, salt: String, rate16: Column): Column = {
+    val digit = substring(md5(concat(lit(salt), key.cast("string"))), 1, 1)
+    // hex digit -> 0..15 via a constant-folded when-chain (Spark's
+    // instr/locate need a literal needle, so no direct strpos here)
+    val hexVal = (0 until 16).foldLeft(lit(-1)) { (acc, i) =>
+      when(digit === "0123456789abcdef".charAt(i).toString, lit(i))
+        .otherwise(acc)
+    }
+    hexVal < rate16
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — a
     * content-defined fingerprint that, unlike md5, supports windowed
     * near-dup chunking. Implemented as a codegen-friendly aggregate
