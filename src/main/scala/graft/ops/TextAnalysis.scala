@@ -224,13 +224,11 @@ object TextAnalysis {
     */
   def hashSampleFlag(key: Column, salt: String, rate16: Column): Column = {
     val digit = substring(md5(concat(lit(salt), key.cast("string"))), 1, 1)
-    // hex digit -> 0..15 via a constant-folded when-chain (Spark's
-    // instr/locate need a literal needle, so no direct strpos here)
-    val hexVal = (0 until 16).foldLeft(lit(-1)) { (acc, i) =>
-      when(digit === "0123456789abcdef".charAt(i).toString, lit(i))
-        .otherwise(acc)
-    }
-    hexVal < rate16
+    // conv() parses the hex digit AND propagates NULL for a NULL key, so
+    // null-keyed rows are DROPPED (null < rate16 is null) — matching the
+    // SQL-oracle strpos semantics; a hand-rolled when-chain here would
+    // silently keep every null-keyed row at 16/16
+    conv(digit, 16, 10).cast("int") < rate16
   }
 
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — a

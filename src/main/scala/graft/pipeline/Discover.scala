@@ -167,7 +167,7 @@ object Discover {
     * an operator-run backfill once restores complete.
     */
   def storageEligiblePredicate(cfg: PipelineConfig, asOf: Timestamp): Column =
-    if (cfg.storageClassCol == null || cfg.storageClassCol.isEmpty) lit(true)
+    if (!cfg.s6Configured) lit(true)
     else {
       val sc = col(cfg.storageClassCol)
       val warm = sc.isNull || !sc.isin("GLACIER", "DEEP_ARCHIVE")
@@ -223,10 +223,13 @@ object Discover {
     import spark.implicits._
     import org.apache.spark.sql.types.StringType
     // storage-eligibility columns (S6) ride along in the read schema
-    // only when configured — the base Turn table doesn't carry them
-    val schema = Seq(Option(cfg.storageClassCol), Option(cfg.restoreHeaderCol))
-      .flatten.filter(_.nonEmpty) // "" means disabled, same as the predicate
-      .foldLeft(Schema.turnSchema)(_.add(_, StringType))
+    // only when configured (cfg.s6Configured — the ONE enablement
+    // definition) — the base Turn table doesn't carry them
+    val s6Cols =
+      if (!cfg.s6Configured) Seq.empty
+      else cfg.storageClassCol +:
+        Option(cfg.restoreHeaderCol).filter(_.nonEmpty).toSeq
+    val schema = s6Cols.foldLeft(Schema.turnSchema)(_.add(_, StringType))
       .add("day", StringType)
     val files = listInputFiles(spark, cfg.inputPath, completedDays(wms))
     val input =

@@ -105,6 +105,14 @@ object Sinks {
     * exactly like the identity-keyed lineage: two pipelines sharing a
     * sinkRoot (or one pipeline whose discovery config changes) must
     * never read — or, worse, orphan-clean — each other's backlog.
+    *
+    * Identity-change property (symmetric with the lineage): changing
+    * any checkpointId input (inputPath / archivePrefix / storage
+    * columns) parks the OLD identity's backlog under its old subdir —
+    * untouched, re-drivable by reverting the config (or running a
+    * one-off cycle with the old config), never cleaned by the new
+    * identity. Deliberate: cross-identity deletion is the data-loss
+    * mode this keying exists to prevent.
     */
   def deferredDir(root: String, checkpointId: String): String =
     s"$root/_deferred/$checkpointId"

@@ -77,6 +77,23 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("hashSampleFlag: deterministic, rate-monotone, null keys dropped") {
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "name")
+    def kept(rate: Int): Long = df.filter(
+      TextAnalysis.hashSampleFlag(col("id"), "t|", lit(rate))).count()
+    assert(kept(0) == 0L && kept(16) == 200L)
+    val k4 = kept(4)
+    assert(k4 > 20 && k4 < 80, s"~25% expected, got $k4")
+    assert(k4 <= kept(8), "monotone in the rate")
+    assert(kept(4) == k4, "deterministic across invocations")
+    // null keys must be DROPPED at any rate (not silently kept) — the
+    // SQL-oracle strpos semantics
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("id", "name")
+    assert(withNull.filter(TextAnalysis.hashSampleFlag(col("id"), "t|",
+      lit(16))).count() == 1L, "null key dropped even at rate 16")
+  }
+
   test("gzip bomb guard: an object exceeding the decompressed-bytes cap " +
       "is skipped like a broken file, others still read") {
     import graft.sources.GzipPatternSource
