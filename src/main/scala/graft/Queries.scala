@@ -439,26 +439,36 @@ object Queries {
        FROM p GROUP BY event_type ORDER BY event_type"""
 
   /** S6 faithful form: Glacier restore-header parsing
-    * (s3.rb:428-444) — a synthesized `restore` header per row in the
-    * reference's exact format `ongoing-request="X", expiry-date="..."`;
-    * eligible = restore complete AND unexpired at the injected clock.
+    * (s3.rb:428-444) — a synthesized `restore` header per row covering
+    * the reference's FULL accepted surface (its regexes tolerate
+    * optional spaces around `=` and single or double quotes, s3.rb:431,
+    * and Ruby DateTime.parse accepts the AWS-native HTTP-date expiry):
+    * rows alternate quote/space style by event_id parity and every 5th
+    * row carries an HTTP-date expiry. Parsing goes through the REAL
+    * pipeline helpers (Discover.restoreOngoing / restoreExpiry), so the
+    * oracle verifies the production parse bit-for-bit. Eligible =
+    * restore complete AND unexpired at the injected clock.
     */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val asOf = "2024-01-04 00:00:00"
-    val hdr = concat(
-      lit("ongoing-request=\""),
-      when(col("event_id") % 3 === 0, lit("true")).otherwise(lit("false")),
-      lit("\", expiry-date=\""),
+    val ongoing =
+      when(col("event_id") % 3 === 0, lit("true")).otherwise(lit("false"))
+    val expiryTxt = when(col("event_id") % 5 === 0,
       date_format(col("ts") + expr("INTERVAL 2 DAYS"),
-        "yyyy-MM-dd HH:mm:ss"),
-      lit("\""))
+        "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+      .otherwise(date_format(col("ts") + expr("INTERVAL 2 DAYS"),
+        "yyyy-MM-dd HH:mm:ss"))
+    val hdr = when(col("event_id") % 2 === 0,
+      concat(lit("ongoing-request=\""), ongoing,
+        lit("\", expiry-date=\""), expiryTxt, lit("\"")))
+      .otherwise(concat(lit("ongoing-request = '"), ongoing,
+        lit("', expiry-date = '"), expiryTxt, lit("'")))
     t(spark, dir, "events")
       .withColumn("restore", hdr)
       .withColumn("ongoing",
-        regexp_extract(col("restore"), "ongoing-request=\"(\\w+)\"", 1))
+        graft.pipeline.Discover.restoreOngoing(col("restore")))
       .withColumn("expiry",
-        to_timestamp(regexp_extract(col("restore"),
-          "expiry-date=\"([^\"]+)\"", 1)))
+        graft.pipeline.Discover.restoreExpiry(col("restore")))
       .withColumn("restored",
         col("ongoing") === "false" &&
           col("expiry") > lit(asOf).cast("timestamp"))
@@ -469,22 +479,33 @@ object Queries {
   }
 
   val q22Sql: String =
-    """WITH r AS (SELECT event_type,
-         'ongoing-request="' ||
-           CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END ||
-           '", expiry-date="' ||
-           strftime(ts + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') || '"'
-           AS restore
+    """WITH b AS (SELECT event_type, event_id,
+         CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END AS og,
+         CASE WHEN event_id % 5 = 0
+              THEN strftime(ts + INTERVAL 2 DAY, '%a, %d %b %Y %H:%M:%S GMT')
+              ELSE strftime(ts + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') END AS ex
          FROM events),
+       r AS (SELECT event_type,
+         CASE WHEN event_id % 2 = 0
+              THEN 'ongoing-request="' || og || '", expiry-date="' || ex || '"'
+              ELSE 'ongoing-request = ''' || og || ''', expiry-date = ''' || ex || ''''
+         END AS restore
+         FROM b),
        p AS (SELECT event_type,
-         regexp_extract(restore, 'ongoing-request="(\w+)"', 1) AS ongoing,
-         CAST(regexp_extract(restore, 'expiry-date="([^"]+)"', 1) AS TIMESTAMP) AS expiry
-         FROM r)
+         regexp_extract(restore, 'ongoing-request\s?=\s?["'']([a-zA-Z0-9_]+)["'']', 1) AS ongoing,
+         regexp_extract(restore, 'expiry-date\s?=\s?["'']([^"'']+)["'']', 1) AS raw
+         FROM r),
+       e AS (SELECT event_type, ongoing,
+         COALESCE(TRY_CAST(raw AS TIMESTAMP),
+           try_strptime(regexp_extract(raw,
+             '^[A-Za-z]{3}, (\d{1,2} [A-Za-z]{3} \d{4} \d{2}:\d{2}:\d{2}) GMT$', 1),
+             '%d %b %Y %H:%M:%S')) AS expiry
+         FROM p)
        SELECT event_type, count(*) AS n,
          CAST(sum(CASE WHEN ongoing = 'false'
               AND expiry > TIMESTAMP '2024-01-04 00:00:00'
               THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
-       FROM p GROUP BY event_type ORDER BY event_type"""
+       FROM e GROUP BY event_type ORDER BY event_type"""
 
   /** P3 configurable form: the multiline codec's `pattern`/`negate`/
     * `what` surface (spec:486) with the `what=next` semantics — a line

@@ -144,9 +144,15 @@ object Discover {
     * DEEP_ARCHIVE) are ineligible for discovery unless their restore
     * header shows a COMPLETED restore (`ongoing-request="false"`) whose
     * `expiry-date` is still in the future at the injected clock. The
-    * header format and parse are the reference's exactly (q22 mirrors
-    * both in SQL). No storage-class column configured -> every row
-    * eligible (the reference's non-Glacier default path).
+    * header parse matches the reference's accepted surface: optional
+    * whitespace around `=` and single OR double quotes
+    * (`ongoing-request\s?=\s?["']false["']`, s3.rb:431), and an
+    * expiry-date in either the plain `yyyy-MM-dd HH:mm:ss` form or the
+    * AWS-native HTTP-date form (`Fri, 21 Dec 2012 00:00:00 GMT`) that
+    * Ruby's `DateTime.parse` accepts ([[restoreExpiry]]; q22 mirrors
+    * construction AND parse of both forms in SQL). No storage-class
+    * column configured -> every row eligible (the reference's
+    * non-Glacier default path).
     *
     * Pure column predicate, narrow and codegen'd: ineligible rows drop
     * in the Filter fused directly onto the scan, before any shuffle or
@@ -176,13 +182,39 @@ object Discover {
           lit(false) // cold and no restore metadata -> never eligible
         else {
           val rh = col(cfg.restoreHeaderCol)
-          rh.isNotNull &&
-            regexp_extract(rh, "ongoing-request=\"(\\w+)\"", 1) === "false" &&
-            to_timestamp(
-              regexp_extract(rh, "expiry-date=\"([^\"]+)\"", 1)) > lit(asOf)
+          rh.isNotNull && restoreOngoing(rh) === "false" &&
+            restoreExpiry(rh) > lit(asOf)
         }
       warm || restored
     }
+
+  /** The `ongoing-request` value of a restore header, with the
+    * reference's tolerance for optional whitespace around `=` and
+    * single or double quotes (s3.rb:431).
+    */
+  def restoreOngoing(rh: Column): Column =
+    regexp_extract(rh, "ongoing-request\\s?=\\s?[\"'](\\w+)[\"']", 1)
+
+  /** The `expiry-date` of a restore header as a timestamp. The reference
+    * parses it with Ruby `DateTime.parse`, which accepts both the plain
+    * `yyyy-MM-dd HH:mm:ss` form and the AWS-native HTTP-date form
+    * (`Fri, 21 Dec 2012 00:00:00 GMT`). Spark forbids weekday tokens in
+    * PARSING patterns, so the HTTP-date leg strips the weekday and the
+    * trailing `GMT` textually and parses the remainder as UTC (the
+    * session timezone) — same instant, since HTTP-dates are GMT by
+    * definition (RFC 7231 §7.1.1.1). try_to_timestamp keeps unparseable
+    * values NULL (never eligible) instead of an ANSI error.
+    */
+  def restoreExpiry(rh: Column): Column = {
+    val raw = regexp_extract(rh, "expiry-date\\s?=\\s?[\"']([^\"']+)[\"']", 1)
+    val httpBody = regexp_extract(raw,
+      "^[A-Za-z]{3}, (\\d{1,2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2}) GMT$",
+      1)
+    coalesce(
+      try_to_timestamp(raw),
+      try_to_timestamp(nullif(httpBody, lit("")),
+        lit("d MMM yyyy HH:mm:ss")))
+  }
 
   /** Discover the unprocessed delta of the transcript table: rows newer
     * than each partition's committed watermark and older than the

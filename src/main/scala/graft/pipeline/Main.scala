@@ -154,7 +154,10 @@ object Main {
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
-      Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix)
+      Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix,
+        // faithful copy incl. the configured S6 metadata columns
+        Seq(cfg.storageClassCol, cfg.restoreHeaderCol)
+          .filter(c => c != null && c.nonEmpty))
     beforeCommit()
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     Lineage.commitAt(spark, lineageDir, commits)

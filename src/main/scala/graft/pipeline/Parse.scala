@@ -247,10 +247,16 @@ object Parse {
     // get_json_object returns SQL NULL for it — special-cased so it is
     // not dead-lettered.
     // JSON whitespace is exactly space/tab/CR/LF (not Java's \s, which
-    // adds \x0B\f and would diverge from json_valid on those bytes)
+    // adds \x0B\f and would diverge from json_valid on those bytes).
+    // coalesce keeps json_ok two-valued: a NULL text makes the rlike leg
+    // NULL (false || NULL = NULL in 3VL), and downstream
+    // `when(!json_ok, ...)` deadletter accounting would silently skip
+    // such rows instead of counting them
     val withOk = parsed.withColumn("json_ok",
-      get_json_object(col(textCol), "$").isNotNull ||
-        col(textCol).rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$"))
+      coalesce(
+        get_json_object(col(textCol), "$").isNotNull ||
+          col(textCol).rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$"),
+        lit(false)))
     val promoted = fields.fields.foldLeft(withOk) { (acc, f) =>
       if (f.name == "message")
         acc.withColumn("json_message",

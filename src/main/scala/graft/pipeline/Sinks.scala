@@ -85,18 +85,27 @@ object Sinks {
     *
     * Per-batch dir + overwrite = idempotent under re-runs, same
     * discipline as the staged sink publish. Returns the archive dir.
+    *
+    * `extraCols` rides configured INPUT metadata columns (the S6
+    * storage_class / restore header) into the copy: the reference's
+    * backup is a faithful object copy incl. all object metadata
+    * (s3.rb:169-183), so an audit or re-ingest of the archive must see
+    * the same cold/restore state the source row carried — dropping them
+    * would silently re-classify every archived row as warm.
     */
   def archive(routed: DataFrame, root: String, batchId: String,
-      addPrefix: String): String = {
+      addPrefix: String, extraCols: Seq[String] = Nil): String = {
     require(addPrefix != null && addPrefix.nonEmpty,
       "backup_add_prefix must be non-empty: an empty prefix would make " +
         "archived keys indistinguishable from source keys and defeat " +
         "the self-exclusion guard (Discover S7c)")
     val dest = s"$root/archive/batch=$batchId"
+    val base = Seq(concat(lit(addPrefix), col("conv_id")).as("conv_id"),
+      col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+      col("day"))
+    val extras = extraCols.filter(routed.columns.contains).map(col)
     routed
-      .select(concat(lit(addPrefix), col("conv_id")).as("conv_id"),
-        col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-        col("day"))
+      .select(base ++ extras: _*)
       .write.mode("overwrite").parquet(dest)
     dest
   }

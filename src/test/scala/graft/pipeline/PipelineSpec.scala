@@ -695,7 +695,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("cold-restored", "GLACIER", hdr("false", future), true),
       ("cold-expired", "GLACIER", hdr("false", past), false),
       ("deep-unrestored", "DEEP_ARCHIVE", null, false),
-      ("deep-restored", "DEEP_ARCHIVE", hdr("false", future), true))
+      ("deep-restored", "DEEP_ARCHIVE", hdr("false", future), true),
+      // the reference's regex tolerates spaces around `=` and single
+      // quotes (s3.rb:431), and Ruby DateTime.parse accepts the
+      // AWS-native HTTP-date expiry — all must classify identically
+      ("cold-squote-spaces", "GLACIER",
+        s"ongoing-request = 'false', expiry-date = '$future'", true),
+      ("cold-http-date", "GLACIER",
+        hdr("false", "Fri, 31 Dec 2027 00:00:00 GMT"), true),
+      ("cold-http-expired", "GLACIER",
+        hdr("false", "Wed, 01 Jan 2020 00:00:00 GMT"), false),
+      ("cold-garbage-expiry", "GLACIER", hdr("false", "soon-ish"), false))
     rows.zipWithIndex.map { case ((c, sc, rh, _), i) =>
       (c, i, "user", s"2025-01-01T00:00:0${i % 10}Z INFO [user] line $i",
         null: String, ts0, sc, rh, "2025-01-01")
@@ -768,6 +778,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$scratch/bk_sinks2/_consumed").exists())
     assert(new java.io.File(
       s"$scratch/bk_sinks2/archive/batch=${r2.batchId}").exists())
+  }
+
+  test("archive copy carries the configured S6 metadata columns " +
+      "(faithful object copy, s3.rb:169-183)") {
+    val inputPath = s"$scratch/bk6_in"
+    val sinkRoot = s"$scratch/bk6_sinks"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    Seq(
+      ("warm", 0, "user", "2025-01-01T00:00:00Z INFO [user] w",
+        null: String, ts0, "STANDARD", null: String, "2025-01-01"),
+      ("cold", 1, "user", "2025-01-01T00:00:01Z INFO [user] c",
+        null: String, ts0, "GLACIER",
+        "ongoing-request=\"false\", expiry-date=\"2099-01-01 00:00:00\"",
+        "2025-01-01"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "storage_class", "restore_hdr", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(inputPath)
+    val cfg = PipelineConfig(inputPath, sinkRoot,
+      storageClassCol = "storage_class", restoreHeaderCol = "restore_hdr",
+      backupAddPrefix = "backup/", archivePrefix = "backup/")
+    val r = Main.runCycle(spark, cfg, farFuture)
+    assert(r.rowsProcessed == 2L)
+    val archived = spark.read.parquet(s"$sinkRoot/archive/batch=${r.batchId}")
+    assert(Seq("storage_class", "restore_hdr")
+      .forall(archived.columns.contains),
+      "archive must keep the cold/restore metadata the source row carried")
+    val cold = archived.filter($"conv_id" === "backup/cold").head()
+    assert(cold.getAs[String]("storage_class") == "GLACIER")
+    assert(cold.getAs[String]("restore_hdr").contains("ongoing-request"))
+    assert(archived.filter($"conv_id" === "backup/warm").head()
+      .getAs[String]("storage_class") == "STANDARD")
   }
 
   test("lineage keyed by checkpoint identity: two configs sharing a " +
