@@ -78,7 +78,28 @@ object Discover {
     * reference's ListObjects cost; the driver holds file paths, not data.
     */
   def listInputFiles(spark: SparkSession, inputPath: String,
-      skipDays: Set[String] = Set.empty): Seq[String] = {
+      skipDays: Set[String] = Set.empty): Seq[String] =
+    listInputFilesDetecting(spark, inputPath,
+      skipDays.iterator.map(_ -> Long.MaxValue).toMap)._1
+
+  /** As [[listInputFiles]], with REOPEN detection for sealed days: a day
+    * in `sealedBeforeMs` is pruned from the walk only while its
+    * partition directory's mtime PREDATES the recorded observation
+    * stamp (Lineage.observationsAt). A directory modified at-or-after
+    * the stamp means a file landed after the last cycle that audited
+    * the day — such a day is still not listed (every row in it is
+    * behind the end-of-day watermark, so the delta scan would read and
+    * drop it all), but it is reported in the second component so the
+    * caller can run the seal audit over it. `Long.MaxValue` = prune
+    * unconditionally (the pre-sealing behavior; used for days completed
+    * without the sealing feature, where no observation stamp exists).
+    *
+    * The mtime check costs NOTHING extra: the parent listStatus that
+    * the walk already performs returns each day dir's FileStatus, mtime
+    * included — there is no per-sealed-day RPC.
+    */
+  def listInputFilesDetecting(spark: SparkSession, inputPath: String,
+      sealedBeforeMs: Map[String, Long]): (Seq[String], Set[String]) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(inputPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,14 +109,15 @@ object Discover {
     // root (e.g. /root/.cache) would get hidden-checked — silently
     // excluding every file and yielding a permanently empty delta.
     val root = fs.makeQualified(new Path(inputPath))
-    if (!fs.exists(root)) return Seq.empty
+    if (!fs.exists(root)) return (Seq.empty, Set.empty)
     val out = Seq.newBuilder[String]
+    val reopened = Set.newBuilder[String]
     // manual recursion (vs listFiles(recursive)) so a pruned day
     // partition is never even LISTED — the server-side-prefix
     // discipline (s3.rb:144; docs push `prefix` precisely to avoid
     // listing what you'll drop). At 100x file counts the O(all-files)
     // driver walk is the cycle's fixed cost; fully-committed days
-    // (watermark at end-of-day, `skipDays`) drop out of it entirely.
+    // (watermark at end-of-day) drop out of it entirely.
     def walk(dir: Path): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -107,14 +129,17 @@ object Discover {
         val hidden = name.startsWith("_") || name.startsWith(".")
         if (!hidden) {
           if (st.isDirectory) {
-            val skip = name.startsWith("day=") &&
-              skipDays.contains(name.stripPrefix("day="))
-            if (!skip) walk(st.getPath)
+            val day = name.stripPrefix("day=")
+            sealedBeforeMs.get(day).filter(_ => name.startsWith("day=")) match {
+              case Some(stamp) =>
+                if (st.getModificationTime >= stamp) reopened += day
+              case None => walk(st.getPath)
+            }
           } else if (name.endsWith(".parquet")) out += st.getPath.toString
         }
       }
     walk(root)
-    out.result().sorted
+    (out.result().sorted, reopened.result())
   }
 
   /** End-of-day instant for a `yyyy-MM-dd` partition value: next
@@ -245,14 +270,34 @@ object Discover {
     */
   def deltaAndDeferred(spark: SparkSession, cfg: PipelineConfig,
       asOf: Timestamp, wms: Map[String, Timestamp]): (DataFrame, DataFrame) = {
-    val base = baseDelta(spark, cfg, asOf, wms)
-    val eligible = coalesce(storageEligiblePredicate(cfg, asOf), lit(false))
-    (base.filter(eligible), base.filter(!eligible))
+    val d = discover(spark, cfg, asOf, wms, Map.empty)
+    (d.delta, d.deferredCold)
   }
 
-  private def baseDelta(spark: SparkSession, cfg: PipelineConfig,
-      asOf: Timestamp, wms: Map[String, Timestamp]): DataFrame = {
-    import spark.implicits._
+  /** One cycle's discovery view: the eligible delta, the skipped-cold
+    * complement, and any sealed days REOPENED by a post-seal landing
+    * (dir mtime at-or-after the observation stamp — see
+    * [[listInputFilesDetecting]]); the caller owes reopened days a seal
+    * audit + refresh commit, or they reopen forever.
+    */
+  case class Discovery(delta: DataFrame, deferredCold: DataFrame,
+      reopenedSealedDays: Set[String])
+
+  def discover(spark: SparkSession, cfg: PipelineConfig, asOf: Timestamp,
+      wms: Map[String, Timestamp],
+      sealedAtMs: Map[String, Long]): Discovery = {
+    val (base, reopened) = baseDelta(spark, cfg, asOf, wms, sealedAtMs)
+    val eligible = coalesce(storageEligiblePredicate(cfg, asOf), lit(false))
+    Discovery(base.filter(eligible), base.filter(!eligible), reopened)
+  }
+
+  /** The read schema for the input table under this config: the Turn
+    * columns, any configured S6 storage columns, and the `day`
+    * partition column — the ONE definition shared by the delta scan and
+    * the seal-audit scan ([[dayRows]]), so manifest schemas never
+    * diverge within a checkpoint identity.
+    */
+  def readSchema(cfg: PipelineConfig): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StringType
     // storage-eligibility columns (S6) ride along in the read schema
     // only when configured (cfg.s6Configured — the ONE enablement
@@ -261,9 +306,61 @@ object Discover {
       if (!cfg.s6Configured) Seq.empty
       else cfg.storageClassCol +:
         Option(cfg.restoreHeaderCol).filter(_.nonEmpty).toSeq
-    val schema = s6Cols.foldLeft(Schema.turnSchema)(_.add(_, StringType))
+    s6Cols.foldLeft(Schema.turnSchema)(_.add(_, StringType))
       .add("day", StringType)
-    val files = listInputFiles(spark, cfg.inputPath, completedDays(wms))
+  }
+
+  /** The S3 zero-length and S7c archive-prefix guards — shared by the
+    * delta path and the seal audit: a row skipped BY DESIGN (empty
+    * text; an already-archived key) must never be classified as
+    * "stranded", or the audit would manifest it for a redrive that can
+    * never publish it.
+    */
+  private def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
+    val guarded = df.filter(length(col("text")) > 0) // S3 zero-length skip
+    // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
+    // archive namespace (conv_id carrying the archive prefix) are never
+    // discovered again — the anti-self-join done as a prefix predicate,
+    // exactly as the reference does it. An empty/null prefix disables the
+    // guard (startsWith("") is true for EVERY value and would drop all
+    // rows), mirroring the excludePattern empty-string handling in Route.
+    if (cfg.archivePrefix == null || cfg.archivePrefix.isEmpty) guarded
+    else guarded.filter(!col("conv_id").startsWith(cfg.archivePrefix))
+  }
+
+  /** Pinned scan of EXACTLY the given day partitions (full
+    * [[readSchema]]), with only the design guards applied — no
+    * watermark, cutoff or eligibility filters: the seal audit owns its
+    * own scope (`ts <= audit watermark`). The listing is pinned at call
+    * time like the delta's.
+    */
+  def dayRows(spark: SparkSession, cfg: PipelineConfig,
+      days: Set[String]): DataFrame = {
+    val schema = readSchema(cfg)
+    val files = days.toSeq.sorted.flatMap(d =>
+      listInputFiles(spark, s"${cfg.inputPath}/day=$d"))
+    val input =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .option("basePath", cfg.inputPath) // keep day from the dir layout
+        .parquet(files: _*)
+    designGuards(cfg)(input)
+  }
+
+  private def baseDelta(spark: SparkSession, cfg: PipelineConfig,
+      asOf: Timestamp, wms: Map[String, Timestamp],
+      sealedAtMs: Map[String, Long]): (DataFrame, Set[String]) = {
+    import spark.implicits._
+    val schema = readSchema(cfg)
+    // completed days prune unconditionally UNLESS an observation stamp
+    // is supplied (sealing configured), in which case a post-seal
+    // landing reopens the day for auditing
+    val skipMap = completedDays(wms).iterator
+      .map(d => d -> sealedAtMs.getOrElse(d, Long.MaxValue)).toMap
+    val (files, reopened) =
+      listInputFilesDetecting(spark, cfg.inputPath, skipMap)
     val input =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -284,17 +381,9 @@ object Discover {
           .drop("wm")
       }
 
-    val guarded = watermarked
-      .filter(cutoffPredicate(asOf, cfg.cutoffSeconds)) // S5 cutoff
-      .filter(length(col("text")) > 0) // S3 zero-length skip
-    // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
-    // archive namespace (conv_id carrying the archive prefix) are never
-    // discovered again — the anti-self-join done as a prefix predicate,
-    // exactly as the reference does it. An empty/null prefix disables the
-    // guard (startsWith("") is true for EVERY value and would drop all
-    // rows), mirroring the excludePattern empty-string handling in Route.
-    if (cfg.archivePrefix == null || cfg.archivePrefix.isEmpty) guarded
-    else guarded.filter(!col("conv_id").startsWith(cfg.archivePrefix))
+    val guarded = designGuards(cfg)(
+      watermarked.filter(cutoffPredicate(asOf, cfg.cutoffSeconds))) // S5
+    (guarded, reopened)
   }
 
   /** New high watermark per day in the delta (for the lineage commit). */

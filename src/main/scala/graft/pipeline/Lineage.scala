@@ -83,6 +83,23 @@ object Lineage {
       .map(r => r.getString(0) -> r.getTimestamp(1))
       .toMap
 
+  /** Per-day observation stamps: the max `committed_at` over each day's
+    * commit rows, in epoch millis. `committed_at` is stamped at CYCLE
+    * START (before any listing), so it lower-bounds every file the
+    * cycle's listings and seal audits covered — the sealed-day reopen
+    * check (Discover.listInputFilesDetecting) compares the day
+    * directory's mtime against this: a file landing at-or-after the
+    * stamp may postdate the last audit and reopens the day. Redrive
+    * commits carry `epoch` here precisely so they never advance a
+    * day's stamp (they observe manifest keys, not the day directory).
+    */
+  def observationsAt(spark: SparkSession, dir: String): Map[String, Long] =
+    readAt(spark, dir)
+      .groupBy(col("day")).agg(max(col("committed_at")).as("obs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).getTime)
+      .toMap
+
   /** Set of committed batch ids — published sink batches not in this set
     * are orphans from a crashed run and must be ignored by readers
     * (snapshot-isolation analog of the reference's mtime-recheck guard,

@@ -34,10 +34,25 @@ object Main {
     val lineageDir = Lineage.dirFor(cfg)
     val wms = Lineage.watermarksAt(spark, lineageDir)
     val batchId = Lineage.batchId(asOf, wms, Lineage.checkpointId(cfg))
+    // the cycle's observation stamp, taken BEFORE any listing: every
+    // file this cycle's listings/audits cover has mtime >= nothing the
+    // stamp postdates, so the sealed-day reopen check (dir mtime >=
+    // stamp) can never skip a landing the audits missed. Stamped into
+    // every commit row as `committed_at` (Lineage.observationsAt).
+    val observedAt = new Timestamp(System.currentTimeMillis())
 
     // 2. discovery: the unprocessed, cutoff-eligible delta plus the
-    // skipped-cold complement — ONE pinned listing for both sides
-    val (delta, deferredCold) = Discover.deltaAndDeferred(spark, cfg, asOf, wms)
+    // skipped-cold complement — ONE pinned listing for both sides —
+    // plus any sealed days REOPENED by a post-seal landing (detected
+    // from the dir mtimes the walk already fetched; such days are not
+    // listed — all their rows are behind the end-of-day watermark —
+    // but owe a seal audit + refresh commit below)
+    val sealedAtMs: Map[String, Long] =
+      if (cfg.sealDaysGraceSeconds < 0) Map.empty
+      else Lineage.observationsAt(spark, lineageDir)
+    val disc = Discover.discover(spark, cfg, asOf, wms, sealedAtMs)
+    val (delta, deferredCold) = (disc.delta, disc.deferredCold)
+    val reopened = disc.reopenedSealedDays
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
     // so consumers that drop columns shuffle less — see Pipeline)
@@ -59,9 +74,11 @@ object Main {
     // past its end at the injected clock, round its committed watermark
     // up to end-of-day. Sealed days drop out of the driver LISTING
     // entirely (Discover.completedDays) — the server-side-prefix
-    // discipline at 100x file counts. Trade-off (documented): rows
-    // backfilled into a sealed day with ts inside it are skipped by the
-    // watermark, exactly like the reference skips objects behind sincedb.
+    // discipline at 100x file counts. Rows backfilled into a sealed day
+    // are watermark-skipped like the reference skips objects behind
+    // sincedb — but never LOST: the seal audit below manifests every
+    // unpublished behind-watermark row at seal time, and a post-seal
+    // landing reopens the day for one audit cycle (`reopened`).
     // the effective grace is clamped to >= cutoffSeconds: a seal firing
     // inside the cutoff window would round the watermark past rows the
     // S5 cutoff deliberately deferred to the NEXT cycle — on-time data,
@@ -77,43 +94,78 @@ object Main {
     // retroactive seals: days committed in EARLIER cycles whose grace
     // has now elapsed get a zero-row seal commit, so they stop being
     // listed even when no new data arrives
-    val now = new Timestamp(System.currentTimeMillis())
     val sealCommits = wms.toSeq.collect {
       case (d, wm) if sealableEnd(d).exists(_.after(wm)) =>
-        Lineage.Commit(batchId, d, sealableEnd(d).get, 0L, now)
+        Lineage.Commit(batchId, d, sealableEnd(d).get, 0L, observedAt)
     }
+    // reopened sealed days get a zero-row REFRESH commit: the new
+    // observation stamp (committed_at = observedAt) is what closes the
+    // day again — without it the dir-mtime check would re-audit every
+    // cycle forever
+    val reopenCommits = reopened.toSeq.sorted.map(d =>
+      Lineage.Commit(batchId, d, wms(d), 0L, observedAt))
 
-    // the manifest records exactly the rows THIS CYCLE'S COMMIT STRANDS:
-    // deferred rows at or below the watermark the commit is about to
-    // write (incl. seals). A stranded row is invisible to normal
-    // discovery from this moment on — the watermark never retreats — so
-    // the manifest and the normal path can NEVER both deliver a row
-    // (redrive exactly-once is structural, not best-effort). Deferred
-    // rows still ABOVE the new watermark are deliberately NOT
-    // manifested: normal discovery re-evaluates them next cycle, and a
-    // later cycle manifests them if and when it strands them.
+    // the manifest records exactly the rows THIS CYCLE'S COMMIT STRANDS,
+    // from two sources:
+    //  - S6: deferred-cold rows at or below the watermark the commit is
+    //    about to write (incl. seals);
+    //  - sealing: the seal AUDIT — for each day sealing now (with a
+    //    prior watermark) or reopened by a post-seal landing, every
+    //    behind-watermark source row that was never published and never
+    //    manifested (a warm backfill behind the watermark; a cold row
+    //    that landed after its day sealed). This closes the one loss
+    //    path the reference keeps (s3.rb:151-156): backfill behind
+    //    sincedb is gone there, redrivable here.
+    // A stranded row is invisible to normal discovery from this moment
+    // on — the watermark never retreats — so the manifest and the
+    // normal path can NEVER both deliver a row (redrive exactly-once is
+    // structural, not best-effort). Deferred rows still ABOVE the new
+    // watermark are deliberately NOT manifested: normal discovery
+    // re-evaluates them next cycle, and a later cycle manifests them if
+    // and when it strands them.
     val effWms: Map[String, Timestamp] = wms ++
       newWms.map { case (d, mx, _) => d -> sealed_(d, mx) } ++
       sealCommits.map(c => c.day -> c.last_ts)
-    def writeStranded(): Unit = if (cfg.s6Configured && effWms.nonEmpty) {
-      val effDf = effWms.toSeq.toDF("day", "_effwm")
-      Sinks.writeDeferred(
-        deferredCold.join(broadcast(effDf), Seq("day"))
-          .filter(col("ts") <= col("_effwm")).drop("_effwm"),
-        cfg.sinkRoot, Lineage.checkpointId(cfg), batchId)
+    // audit scope: days whose committed watermark TRANSITIONS to
+    // end-of-day this cycle (seal with a prior wm — a day first seen
+    // and sealed in one cycle has no behind-watermark rows to audit),
+    // plus reopened days (wm already at end-of-day)
+    val auditWms: Map[String, Timestamp] =
+      effWms.filter { case (d, w) =>
+        wms.get(d).exists(old => old.before(w)) &&
+          Discover.endOfDayTs(d).exists(e => !w.before(e))
+      } ++ reopened.map(d => d -> wms(d))
+    def writeStranded(): Unit = {
+      val cold =
+        if (cfg.s6Configured && effWms.nonEmpty) {
+          val effDf = effWms.toSeq.toDF("day", "_effwm")
+          Some(deferredCold.join(broadcast(effDf), Seq("day"))
+            .filter(col("ts") <= col("_effwm")).drop("_effwm"))
+        } else None
+      val audit =
+        if (auditWms.nonEmpty)
+          Some(auditStranded(spark, cfg, lineageDir, batchId, auditWms))
+        else None
+      val stranded = (cold, audit) match {
+        case (Some(c), Some(a)) => Some(c.unionByName(a).distinct())
+        case (c, a) => c.orElse(a)
+      }
+      stranded.foreach(df => Sinks.writeDeferred(df, cfg.sinkRoot,
+        Lineage.checkpointId(cfg), batchId))
     }
 
     if (total == 0L) {
       routed.unpersist()
-      // progress without data: sealing-only commit (no publish happened
-      // under this batchId, so the id's presence in lineage is inert for
-      // sink readers). The stranded manifest is STILL written — skipped
-      // cold rows of a day about to seal must be recorded BEFORE the
-      // seal makes them undiscoverable, or the "nothing silently lost"
-      // invariant breaks exactly when it matters
-      if (sealCommits.nonEmpty) {
+      // progress without data: sealing/refresh-only commit (no publish
+      // happened under this batchId, so the id's presence in lineage is
+      // inert for sink readers). The stranded manifest is STILL written
+      // — rows a seal is about to hide (cold-deferred or audit-found)
+      // must be recorded BEFORE the seal makes them undiscoverable, or
+      // the "nothing silently lost" invariant breaks exactly when it
+      // matters
+      if (sealCommits.nonEmpty || reopenCommits.nonEmpty) {
         writeStranded()
-        Lineage.commitAt(spark, lineageDir, sealCommits)
+        Lineage.commitAt(spark, lineageDir, sealCommits ++ reopenCommits)
         Lineage.compactAt(spark, lineageDir)
       }
       return CycleResult(batchId, 0L, Seq.empty)
@@ -124,15 +176,56 @@ object Main {
     // (S6: a row whose restore completes after the watermark has passed
     // it stays re-drivable — the reference silently loses it,
     // s3.rb:152-156; same pinned snapshot as the delta, one extra
-    // pushed-filter scan paid only when storage columns are configured)
+    // pushed-filter scan paid only when storage columns are configured.
+    // The seal audit runs there too: post-publish, so the current
+    // batch's own deliveries are visible to its anti-join)
     val newDays = newWms.map(_._1).toSet
     val commits = newWms.map { case (d, mx, n) =>
-      Lineage.Commit(batchId, d, sealed_(d, mx), n, now)
-    }.toSeq ++ sealCommits.filterNot(c => newDays.contains(c.day))
+      Lineage.Commit(batchId, d, sealed_(d, mx), n, observedAt)
+    }.toSeq ++ sealCommits.filterNot(c => newDays.contains(c.day)) ++
+      reopenCommits
     val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
       commits, () => writeStranded())
     routed.unpersist()
     CycleResult(batchId, total, published)
+  }
+
+  /** The seal audit: for each (day -> audit watermark), every source
+    * row at-or-below the watermark that was neither published (any
+    * sink, committed batches plus the in-flight one) nor already
+    * manifested — i.e. rows the engine has NO record of, which the
+    * sealed listing prune is about to make permanently undiscoverable.
+    * Scope `ts <= end-of-day` (not the pre-cycle watermark) so a file
+    * landing between the cycle's delta pin and this audit's own pin is
+    * covered too: its unpublished rows manifest here instead of
+    * vanishing into the seal.
+    *
+    * Plan shape: the day scan is partition-scoped ([[Discover.dayRows]]);
+    * the published-keys side is day-filtered with pushed predicates;
+    * the anti-joins run on (conv_id, turn_idx, day) with strategy left
+    * to the planner — both sides are day-partition-sized, paid once per
+    * day lifetime (at seal) plus once per post-seal landing.
+    */
+  private def auditStranded(spark: SparkSession, cfg: PipelineConfig,
+      lineageDir: String, batchId: String,
+      auditWms: Map[String, Timestamp]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val keys = Seq("conv_id", "turn_idx", "day")
+    val wmDf = auditWms.toSeq.toDF("day", "_awm")
+    val behind = Discover.dayRows(spark, cfg, auditWms.keySet)
+      .join(broadcast(wmDf), Seq("day"))
+      .filter(col("ts") <= col("_awm")).drop("_awm")
+    val published = Sinks.publishedKeys(spark, cfg.sinkRoot, lineageDir,
+      auditWms.keySet, batchId)
+    val manifestDirs = Sinks.partitionCommitted(
+      Sinks.batchDirs(spark,
+        Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))),
+      Lineage.committedBatchesAt(spark, lineageDir))._1
+    val unpub = behind.join(published, keys, "left_anti")
+    if (manifestDirs.isEmpty) unpub
+    else unpub.join(
+      spark.read.parquet(manifestDirs: _*).select(keys.map(col): _*),
+      keys, "left_anti")
   }
 
   /** The publish discipline every batch (normal or re-driven) follows:
@@ -164,7 +257,7 @@ object Main {
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    if (cfg.s6Configured)
+    if (cfg.deferralConfigured)
       Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
         Lineage.committedBatchesAt(spark, lineageDir))
     published
@@ -287,11 +380,16 @@ object Main {
       org.apache.spark.sql.Encoders.product[Turn]),
       cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
       .cache()
-    val now = new Timestamp(System.currentTimeMillis())
+    // committed_at = epoch, NOT now: committed_at is the day-dir
+    // observation stamp behind the sealed-day reopen check
+    // (Lineage.observationsAt), and a redrive observes only manifest
+    // keys — advancing a sealed day's stamp here would let a backfill
+    // that landed just before this commit slip past the next reopen
+    // check unaudited
     val days = eligibleNow.groupBy(col("day"))
       .agg(max(col("ts")).as("mx"), count(lit(1)).as("n")).collect()
       .map(r => Lineage.Commit(batchId, r.getString(0), r.getTimestamp(1),
-        r.getLong(2), now)).toSeq
+        r.getLong(2), Lineage.epoch)).toSeq
     val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
       days,
       // ledger BEFORE commit — see the crash-window analysis above

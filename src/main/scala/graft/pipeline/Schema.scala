@@ -94,9 +94,14 @@ case class EnrichedTurn(
   *                        end-of-day, so the whole partition drops out
   *                        of the driver LISTING (Discover.completedDays;
   *                        the server-side-prefix discipline, s3.rb:144).
-  *                        -1 (default) disables. Trade-off: backfills
-  *                        into a sealed day are watermark-skipped, as
-  *                        the reference skips objects behind sincedb
+  *                        -1 (default) disables. Backfills into a
+  *                        sealed day are watermark-skipped like the
+  *                        reference skips objects behind sincedb — but
+  *                        never lost: the seal-time audit manifests
+  *                        every unpublished behind-watermark row, and a
+  *                        post-seal landing reopens the day for one
+  *                        audit cycle (Main.runCycle), so everything
+  *                        stranded stays redrivable
   */
 case class PipelineConfig(
     inputPath: String,
@@ -127,6 +132,14 @@ case class PipelineConfig(
     */
   def s6Configured: Boolean =
     storageClassCol != null && storageClassCol.nonEmpty
+
+  /** Whether ANY deferral surface is active — S6 cold-row stranding or
+    * day-sealing's stranded-backfill audit. Gates the `_deferred`
+    * namespace machinery (manifest writes, compaction) so a pipeline
+    * with neither feature pays nothing.
+    */
+  def deferralConfigured: Boolean =
+    s6Configured || sealDaysGraceSeconds >= 0
 }
 
 object Schema {

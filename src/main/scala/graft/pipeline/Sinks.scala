@@ -228,6 +228,49 @@ object Sinks {
     dest
   }
 
+  /** (conv_id, turn_idx, day) keys published across ALL sinks for the
+    * given days — the seal audit's "already delivered" side. Reads only
+    * committed batch dirs (plus `includeBatch`, the in-flight batch
+    * whose staged publish has happened but whose commit has not: its
+    * delta rows ARE delivered, and the audit runs pre-commit). The day
+    * filter is a pushed data-column predicate, so row-group stats skip
+    * batches that contain none of the audited days.
+    *
+    * Cost note (100 TB): this reads each audited day's published rows
+    * once — paid once per day LIFETIME (at seal), plus once per reopen.
+    * If seal audits dominate, publish sinks partitioned by (sink, day)
+    * would turn this into a partition-pruned read; not done here
+    * because batches are day-skewed anyway (a batch holds recent days),
+    * so the row-group skip already prunes most files.
+    */
+  def publishedKeys(spark: SparkSession, root: String, lineageDir: String,
+      days: Set[String], includeBatch: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, IntegerType, StructType, StructField}
+    val keySchema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("day", StringType)))
+    val committed =
+      Lineage.committedBatchesAt(spark, lineageDir) + includeBatch
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkDirs =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq.map(_.getPath)
+        .filter(p => fs.getFileStatus(p).isDirectory)
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith(".") ||
+          p.getName == "archive" || // prefixed COPIES, not deliveries
+          p.getName == "stream") // the streaming surface commits its own
+    val batches = sinkDirs.flatMap(sd => batchDirs(spark, sd.toString))
+      .filter(d => committed.contains(d.split("batch=").last))
+    if (batches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
+    else spark.read.parquet(batches: _*)
+      .filter(col("day").isin(days.toSeq: _*))
+      .select(col("conv_id"), col("turn_idx"), col("day"))
+  }
+
   /** Read a sink's COMMITTED contents: only batch dirs present in the
     * lineage table (snapshot isolation for readers).
     */
