@@ -141,11 +141,17 @@ object Streaming {
     * conversation spans triggers (maxFilesPerTrigger). A retried batch
     * reads the previous batch's carry and republishes both the output
     * dir and its own carry snapshot idempotently.
+    *
+    * `codec` is orthogonal to the trigger, exactly as the reference's
+    * codec plugin is orthogonal to its polling loop (s3.rb:35 vs
+    * 130-136): json/multiline users get identical parse semantics under
+    * AvailableNow and ProcessingTime as under the batch cycle.
     */
   def runForeachBatch(spark: SparkSession, inputPath: String,
       sinkRoot: String, checkpoint: String, excludePattern: String = "",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+      maxFilesPerTrigger: Int = 64,
+      codec: Pipeline.Codec = Pipeline.GrokCodec): StreamingQuery = {
     import spark.implicits._
     readTurns(spark, inputPath, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpoint)
@@ -174,7 +180,7 @@ object Streaming {
             .parquet(s"$sinkRoot/stream/_violations/batch=$batchId")
         }
         val turns = flagged.filter(!isLate).drop("carry_max_idx").as[Turn]
-        val routed = Pipeline(turns, excludePattern)
+        val routed = Pipeline(turns, excludePattern, codec = codec)
         // apply carry-in: headers stick across batches; session ids
         // continue from the running record-start count. Both sides hash
         // on conv_id (the carry is one row per conv — at scale this is

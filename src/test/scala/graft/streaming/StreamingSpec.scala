@@ -277,6 +277,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "new rows keep the carried header")
   }
 
+  test("json codec is orthogonal to the trigger: two micro-batches == " +
+      "one batch run on the union (codec parity, s3.rb:35 vs 130-136)") {
+    val input = s"$scratch/jc_input"
+    val sinkRoot = s"$scratch/jc_sinks"
+    val ckpt = s"$scratch/jc_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val fileA = Seq(
+      Turn("jc", 0, "user", """{"message": "hello", "level": "INFO"}""", null, ts0),
+      Turn("jc", 1, "user", "not json at all", null, ts0))
+    val fileB = Seq(
+      Turn("jc", 2, "user", """{"message": "again", "level": "WARN"}""", null, ts0),
+      Turn("jd", 0, "user", """{"message": 42, "level": "INFO"}""", null, ts0))
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    val codec = Pipeline.codecFor(PipelineConfig("", "", codec = "json"))
+    val q = Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1, codec = codec)
+    q.awaitTermination()
+    val nBatches = new java.io.File(s"$sinkRoot/stream").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(nBatches >= 2, s"must span micro-batches, got $nBatches")
+
+    val cols = Seq($"conv_id", $"turn_idx", $"sink", $"json_message",
+      $"json_level", $"session_id")
+    val streamed = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream").select(cols: _*)
+    val batch = Pipeline((fileA ++ fileB).toDS(), codec = codec)
+      .select(cols: _*)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"streaming json codec must equal batch:\n" +
+        s"stream=${streamed.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}\n" +
+        s"batch=${batch.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}")
+    // the invalid-JSON row dead-letters through the streaming path too —
+    // before this round it silently got the grok default
+    assert(streamed.filter($"sink" === "deadletter").count() == 1)
+    assert(streamed.filter($"conv_id" === "jc" && $"turn_idx" === 2)
+      .head().getAs[String]("json_message") == "again")
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
