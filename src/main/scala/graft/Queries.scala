@@ -796,14 +796,18 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val d08Sql: String = {
+  /** The MinHash-LSH candidate-pair CTE chain (through `pairs`) —
+    * shared verbatim by the d08 oracle and the d18 cluster-resolution
+    * oracle so the two can never disagree on the pair set.
+    */
+  private val lshPairCtes: String = {
     val mins = (0 until 8)
       .map(i => s"min(substr(md5(s), ${1 + 4 * i}, 4)) AS mh$i")
       .mkString(", ")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS sig FROM mh")
       .mkString(" UNION ALL ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
            regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
        sh AS (SELECT DISTINCT doc_id,
               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -811,14 +815,49 @@ object Queries {
        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        bands AS ($bandSelects),
        sizes AS (SELECT band, sig, count(*) AS n FROM bands
-                 GROUP BY band, sig HAVING count(*) > 1 AND count(*) <= 1000)
-       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       FROM bands a
-       JOIN sizes sz ON sz.band = a.band AND sz.sig = a.sig
-       JOIN bands b ON b.band = a.band AND b.sig = a.sig
-        AND a.doc_id < b.doc_id
-       ORDER BY id_a, id_b"""
+                 GROUP BY band, sig HAVING count(*) > 1 AND count(*) <= 1000),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN sizes sz ON sz.band = a.band AND sz.sig = a.sig
+         JOIN bands b ON b.band = a.band AND b.sig = a.sig
+          AND a.doc_id < b.doc_id)"""
   }
+
+  val d08Sql: String =
+    s"""WITH $lshPairCtes
+       SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"""
+
+  /** Near-dup cluster resolution (d18): fold the LSH candidate pairs
+    * into connected components (min-label propagation, Dedup
+    * .resolveClusters) and keep one survivor per cluster — the
+    * transitive-closure step after any pair-emitting near-dup op
+    * (A~B, B~C with A!~C must collapse to ONE cluster). The oracle
+    * replays it as a DuckDB recursive reachability query: cluster_id =
+    * min id reachable in the undirected pair graph.
+    */
+  def d18(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(t(spark, dir, "documents"),
+      "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+    Dedup.resolveClusters(pairs)
+      .select(col("id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, r) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+              min(r) = id AS keep
+       FROM reach GROUP BY id ORDER BY doc_id"""
 
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
@@ -1709,6 +1748,7 @@ object Queries {
     "d13_repetition" -> (d13 _),
     "d14_chunking" -> (d14 _),
     "d15_contamination" -> (d15 _),
+    "d18_neardup_clusters" -> (d18 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -1767,6 +1807,7 @@ object Queries {
     "d13_repetition" -> d13Sql,
     "d14_chunking" -> d14Sql,
     "d15_contamination" -> d15Sql,
+    "d18_neardup_clusters" -> d18Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,

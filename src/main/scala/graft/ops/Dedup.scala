@@ -207,6 +207,78 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup PAIRS, with survivor selection —
+    * the transitive-closure step production corpus dedup runs on
+    * LSH/SimHash pair output (A~B and B~C collapse to one cluster even
+    * when A!~C, and exactly one member survives).
+    *
+    * Bounded-iteration min-label propagation, entirely shuffle-side (no
+    * driver union-find, no collect): label(x) starts as x; each
+    * iteration replaces it with min(label(x), min over neighbors'
+    * labels); fixpoint when no label changes. Labels only DECREASE, so
+    * an early stop at `maxIters` over-segments but never over-merges —
+    * and is reported loudly (no silent caps). Iterations needed ~ the
+    * component diameter: near-dup clusters are template families, which
+    * are star-shaped/shallow in practice; 20 covers any plausible
+    * corpus (a diameter-20 chain of pairwise near-dups is adversarial).
+    *
+    * Per-iteration cost: one equi-join edges->labels + one hash-agg +
+    * one change-count — every operator shuffles on the id key, nothing
+    * quadratic. Each iteration's labels are localCheckpoint'ed (eager),
+    * which TRUNCATES the logical plan: without it the plan tree doubles
+    * per iteration and the driver OOMs just PRINTING it around
+    * iteration 7 (measured). At cluster scale, `checkpoint` to reliable
+    * storage every few iterations is the executor-loss-safe variant of
+    * the same truncation.
+    *
+    * Returns (id, cluster_id = min id in component, keep = survivor),
+    * for ids that appear in at least one pair (singletons are not the
+    * pair graph's business).
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    resolveClustersIter(pairs, maxIters)._1
+
+  /** As [[resolveClusters]], also returning (iterations run, converged)
+    * so callers (and tests) can observe the bound firing.
+    */
+  def resolveClustersIter(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, "need at least one propagation iteration")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("_nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("_nl")).as("_nmin"))
+      // eager localCheckpoint: materializes AND truncates the plan, so
+      // the next iteration builds on a leaf, not on this one's tree
+      val joined = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("_nmin"), col("label")))
+            .as("_next"))
+        .localCheckpoint(true)
+      val changed = joined.filter(col("_next") < col("label")).count()
+      labels = joined.select(col("id"), col("_next").as("label"))
+      converged = changed == 0L
+      iters += 1
+    }
+    if (!converged)
+      System.err.println(s"[resolveClusters] NOT converged after $iters " +
+        s"iterations (component diameter exceeds maxIters=$maxIters); " +
+        "labels are an over-segmentation, never an over-merge")
+    edges.unpersist()
+    (labels.select(col("id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep")), iters, converged)
+  }
+
   /** Verified n-gram Jaccard for a set of candidate pairs: emits
     * (id_a, id_b, inter, union_) as exact integers (ratios are for the
     * caller — integer outputs hash-compare exactly against any oracle).

@@ -357,4 +357,41 @@ class OpsSpec extends AnyFunSuite {
     assert(perVideo.forall(r =>
       r.getLong(1) == (r.getInt(2) + 999) / 1000))
   }
+
+  test("resolveClusters (d18): multi-hop pairs fold into one component " +
+      "with the min-id survivor; disjoint clusters stay disjoint") {
+    // A~B and B~C but A!~C (the transitive case LSH pair output
+    // produces); x~y a separate component
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val (df, iters, converged) = Dedup.resolveClustersIter(pairs)
+    assert(converged, s"tiny graph must converge (ran $iters iters)")
+    val got = df.orderBy($"id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      ("a", "a", true), ("b", "a", false), ("c", "a", false),
+      ("x", "x", true), ("y", "x", false)),
+      s"got $got")
+  }
+
+  test("resolveClusters bounds iterations and over-segments (never " +
+      "over-merges) when the cap fires") {
+    // a diameter-7 chain: 0-1-2-...-7
+    val chain = (0 until 7).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("id_a", "id_b")
+    val (capped, itersC, convergedC) =
+      Dedup.resolveClustersIter(chain, maxIters = 2)
+    assert(!convergedC && itersC == 2, "the cap must fire on a long chain")
+    val labels = capped.select($"cluster_id").distinct().count()
+    assert(labels > 1, "early stop over-segments")
+    // every partial label is still a member of the true component —
+    // labels only decrease toward the true min, never cross components
+    assert(capped.filter(!$"cluster_id".startsWith("n")).count() == 0)
+    // and with the default cap the same chain fully converges
+    val (full, _, convergedF) = Dedup.resolveClustersIter(chain)
+    assert(convergedF)
+    assert(full.select($"cluster_id").distinct().count() == 1)
+    assert(full.filter($"keep").collect().map(_.getString(0)).toSeq ==
+      Seq("n00"), "min id survives")
+  }
 }

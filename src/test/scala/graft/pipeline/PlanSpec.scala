@@ -159,6 +159,23 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must never shuffle/replicate on its own size:\n$plan")
   }
 
+  test("d18 cluster resolution: every propagation step is an equi-join " +
+      "on the id key — no cartesian/nested-loop, iterations hard-bounded") {
+    // label propagation at 10^9 nodes lives or dies on the per-iteration
+    // join being a hash/sort equi-join; a BroadcastNestedLoopJoin or
+    // CartesianProduct here is O(V*E) rows moved
+    val plan = physical(graft.Queries.d18(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"label propagation must join by key, not all-pairs:\n$plan")
+    // the bound is a hard stop, not advisory (OpsSpec covers the
+    // over-segmentation semantics of an early stop)
+    val chain = (0 until 30).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
+    val (_, iters, converged) = graft.ops.Dedup.resolveClustersIter(
+      chain.toDF("id_a", "id_b"), maxIters = 3)
+    assert(iters == 3 && !converged)
+  }
+
   test("d14 chunking is a pure narrow explode — zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = physical(
