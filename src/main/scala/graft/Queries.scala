@@ -1433,11 +1433,12 @@ object Queries {
        sh AS (SELECT DISTINCT doc_id,
               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
               FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
-       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       hits AS (SELECT sh.doc_id, count(*) AS o FROM sh
-                JOIN bench USING (s)
-                WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+       shh AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM sh),
+       bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       hits AS (SELECT shh.doc_id, count(*) AS o FROM shh
+                JOIN bench USING (h)
+                WHERE shh.doc_id % 97 <> 0 GROUP BY shh.doc_id)
        SELECT d.doc_id, CAST(COALESCE(sizes.n, 0) AS BIGINT) AS n_shingles,
               CAST(COALESCE(hits.o, 0) AS BIGINT) AS n_overlap,
               COALESCE(hits.o, 0) > 0 AS contaminated

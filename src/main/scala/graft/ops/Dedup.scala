@@ -62,12 +62,24 @@ object Dedup {
     * a broadcast left-semi join + one hash aggregate — the 100 TB scan
     * never shuffles on its own size. n_overlap counts DISTINCT
     * overlapping shingles ([[shingles]] de-duplicates per document).
+    *
+    * Both sides join on a 64-bit md5 PREFIX of the shingle, not the
+    * shingle string: the broadcast shrinks from avg-shingle-length
+    * (tens of bytes x n-gram text) to 16 fixed chars per entry, and the
+    * probe hashes a short fixed-width key. A prefix collision marks one
+    * extra shingle overlapping (never misses one) at ~2^-64 per pair —
+    * noise against LSH-grade screening, and the oracle replays the same
+    * hash so results stay exact-comparable.
     */
   def contaminationScreen(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    def h(s: Column): Column = substring(md5(s), 1, 16)
+    // distinct AFTER hashing too: two distinct bench shingles colliding
+    // to one prefix must not double-match a corpus row
     val benchSh = bench
       .select(explode(shingles(col(textCol), shingleN)).as("s")).distinct()
+      .select(h(col("s")).as("sh_h")).distinct()
       .withColumn("_hit", lit(1))
     // ONE pass over the corpus: shingle once, explode_outer (docs with
     // no shingles keep a row), mark hits via a broadcast LEFT join
@@ -76,9 +88,10 @@ object Dedup {
     corpus
       .select(col(idCol),
         explode_outer(shingles(col(textCol), shingleN)).as("s"))
-      .join(broadcast(benchSh), Seq("s"), "left")
+      .select(col(idCol), h(col("s")).as("sh_h"))
+      .join(broadcast(benchSh), Seq("sh_h"), "left")
       .groupBy(col(idCol))
-      .agg(count(col("s")).as("n_shingles"),
+      .agg(count(col("sh_h")).as("n_shingles"),
         count(col("_hit")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }

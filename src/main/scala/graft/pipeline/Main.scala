@@ -357,13 +357,8 @@ object Main {
     // The watermark map is deliberately EMPTY: these keys are behind the
     // committed watermark (and possibly in sealed days), which is
     // precisely why normal discovery can no longer see them.
-    // No broadcast HINT on pending: usually tiny (AQE broadcasts it),
-    // but a years-long cold backlog could be arbitrarily large and a
-    // forced broadcast would OOM the driver — let the planner pick.
     val current = Discover.deltaAndDeferred(spark, cfg, asOf, Map.empty)
-    val eligibleNow = current._1
-      .join(pending, Seq("conv_id", "turn_idx"), "left_semi")
-      .cache()
+    val eligibleNow = pendingSemiJoin(current._1, pending).cache()
     val redrivenKeys = eligibleNow.select(col("conv_id"), col("turn_idx"))
     val total = eligibleNow.count()
     pending.unpersist()
@@ -399,6 +394,19 @@ object Main {
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)
   }
+
+  /** The redrive's input cut-down: the full current-source read,
+    * semi-joined to exactly the pending manifest keys BEFORE any wide
+    * operator runs — only the backlog's rows ever reach Pipeline.
+    * Deliberately NO broadcast hint on `pending`: it is usually tiny
+    * (AQE broadcasts it at runtime), but a years-long cold backlog can
+    * be arbitrarily large and a forced broadcast would OOM the driver —
+    * join strategy stays with the planner (PlanSpec pins this).
+    */
+  private[pipeline] def pendingSemiJoin(
+      current: org.apache.spark.sql.DataFrame,
+      pending: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    current.join(pending, Seq("conv_id", "turn_idx"), "left_semi")
 
   /** CLI: --input <path> --sink-root <path> --as-of <ISO8601|now>
     * [--exclude <regex>] [--cutoff <sec>]

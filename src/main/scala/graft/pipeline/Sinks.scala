@@ -49,9 +49,27 @@ object Sinks {
       .parquet(stagingDir(root, batchId))
   }
 
-  /** Atomically publish staged sink dirs as `<sink>/batch=<batchId>`.
-    * Idempotent: an existing destination (crashed previous attempt) is
-    * replaced wholesale, never merged.
+  /** Publish staged sink dirs as `<sink>/batch=<batchId>`. Idempotent:
+    * an existing destination (crashed previous attempt) is replaced
+    * wholesale, never merged.
+    *
+    * COMMIT-PROTOCOL NOTE (explicit design decision): the rename here
+    * is NOT the atomicity mechanism — lineage-gating is. Readers
+    * ([[readSink]], redrive, the seal audit) only ever look at batch
+    * dirs whose id appears in the committed lineage table, so a
+    * half-moved or orphaned publish is invisible regardless of rename
+    * semantics. That matters on the real 100 TB target: object stores
+    * have no atomic directory rename (it is a per-object copy+delete),
+    * and this protocol does not care. The staging round-trip is KEPT
+    * anyway, for hygiene rather than atomicity: (a) `_staging` is
+    * hidden from every listing by the `_` prefix, so debris from a
+    * crashed write can never be mistaken for data by ANY tool, not just
+    * lineage-aware ones; (b) the delete+rename gives wholesale
+    * dir-replacement idempotence without enumerating stale files. On an
+    * object store the copy cost is one extra PUT per object of the
+    * batch — if that ever dominates, writing batch dirs directly and
+    * relying purely on the lineage gate is the documented alternative;
+    * no reader would change.
     */
   def publish(spark: SparkSession, root: String, batchId: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -184,6 +184,33 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must not shuffle (narrow explode):\n$plan")
   }
 
+  test("redrive pending-side join: an oversized backlog is never the " +
+      "build side of a forced broadcast — a shuffled LeftSemi feeds the " +
+      "pipeline") {
+    // a years-long cold backlog can be arbitrarily large; a broadcast()
+    // hint on it would OOM the driver. With stats above the broadcast
+    // threshold the planner must pick a shuffled semi-join — this pins
+    // that Main.pendingSemiJoin leaves the choice to the planner.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val current = spark.range(1000).select(
+        concat(lit("conv-"), $"id").as("conv_id"),
+        ($"id" % 50).cast("int").as("turn_idx"),
+        lit("x").as("text"))
+      val pending = spark.range(100000).select(
+        concat(lit("conv-"), $"id").as("conv_id"),
+        ($"id" % 50).cast("int").as("turn_idx"))
+      val joined = Main.pendingSemiJoin(current, pending)
+      joined.count() // AQE final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"only the backlog's rows may feed Pipeline (semi-join):\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"an above-threshold backlog must not be broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("routing + parse stay inside whole-stage codegen") {
     val routed = Route(Parse.parseColumns(
       spark.read.parquet(s"$scratch/input")))
