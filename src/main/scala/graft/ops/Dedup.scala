@@ -251,6 +251,34 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     resolveClustersIter(pairs, maxIters)._1
 
+  /** One min-label propagation step over (edges, labels): neighbor-min
+    * via an EQUI-join + hash-agg, folded back with a left join. Emits
+    * (id, label, _next). Factored out so the physical-plan shape is
+    * pinnable un-checkpointed (PlanSpec) — [[resolveClustersIter]]
+    * applies exactly this, truncated per iteration.
+    */
+  private[graft] def propagationStep(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("id").as("dst"), col("label").as("_nl")),
+        Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(min(col("_nl")).as("_nmin"))
+    labels.join(nbrMin, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        least(col("label"), coalesce(col("_nmin"), col("label")))
+          .as("_next"))
+  }
+
+  /** The checkpointed RDD backing an eager localCheckpoint'ed frame —
+    * its plan is a single LogicalRDD leaf. Used to free superseded
+    * iterations' blocks promptly instead of waiting for driver GC.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** As [[resolveClusters]], also returning (iterations run, converged)
     * so callers (and tests) can observe the bound firing.
     */
@@ -263,23 +291,20 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // blocks of superseded iterations are unpersisted as soon as the
+    // next checkpoint is materialized — at most TWO label snapshots
+    // live at any moment, not O(iterations)
+    var prevCk = checkpointRdd(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("_nl")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("_nl")).as("_nmin"))
       // eager localCheckpoint: materializes AND truncates the plan, so
       // the next iteration builds on a leaf, not on this one's tree
-      val joined = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("_nmin"), col("label")))
-            .as("_next"))
-        .localCheckpoint(true)
+      val joined = propagationStep(edges, labels).localCheckpoint(true)
       val changed = joined.filter(col("_next") < col("label")).count()
       labels = joined.select(col("id"), col("_next").as("label"))
+      prevCk.foreach(_.unpersist(blocking = false))
+      prevCk = checkpointRdd(joined)
       converged = changed == 0L
       iters += 1
     }

@@ -97,6 +97,17 @@ object Discover {
     * The mtime check costs NOTHING extra: the parent listStatus that
     * the walk already performs returns each day dir's FileStatus, mtime
     * included — there is no per-sealed-day RPC.
+    *
+    * DETECTION CONTRACT: the check fires when the day directory's own
+    * mtime advances — i.e. when a backfill lands as a direct child of
+    * the day dir, or creates a new subdir under it (both update the
+    * dir mtime on POSIX/HDFS semantics). It cannot see (a) appends
+    * into a PRE-EXISTING nested subdir of the day (only that subdir's
+    * mtime changes), or (b) object stores whose "directories" are
+    * synthetic with no meaningful mtime. For those writers/stores the
+    * operator forces the same audit explicitly via
+    * `PipelineConfig.reauditDays` — detection is an optimization over
+    * that path, never the only road to the audit.
     */
   def listInputFilesDetecting(spark: SparkSession, inputPath: String,
       sealedBeforeMs: Map[String, Long]): (Seq[String], Set[String]) = {
@@ -328,17 +339,49 @@ object Discover {
     else guarded.filter(!col("conv_id").startsWith(cfg.archivePrefix))
   }
 
+  /** All parquet files under any `day=<d>` directory of the input tree
+    * for the given days, at ANY depth — the same day-dir placement rule
+    * the main walk prunes/reopen-checks by, so the audit always reads
+    * exactly the partitions the listing would have skipped. Other days'
+    * partition dirs are pruned from this walk wholesale.
+    */
+  def listDayFiles(spark: SparkSession, inputPath: String,
+      days: Set[String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inputPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(inputPath))
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    def walk(dir: Path, inTarget: Boolean): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val hidden = name.startsWith("_") || name.startsWith(".")
+        if (!hidden) {
+          if (st.isDirectory) {
+            if (name.startsWith("day=")) {
+              val want = inTarget || days.contains(name.stripPrefix("day="))
+              if (want) walk(st.getPath, inTarget = true)
+              // else: another day's partition — pruned wholesale
+            } else walk(st.getPath, inTarget)
+          } else if (inTarget && name.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+      }
+    walk(root, inTarget = false)
+    out.result().sorted
+  }
+
   /** Pinned scan of EXACTLY the given day partitions (full
     * [[readSchema]]), with only the design guards applied — no
     * watermark, cutoff or eligibility filters: the seal audit owns its
-    * own scope (`ts <= audit watermark`). The listing is pinned at call
-    * time like the delta's.
+    * own scope. The listing is pinned at call time like the delta's,
+    * and finds day dirs at any depth ([[listDayFiles]]).
     */
   def dayRows(spark: SparkSession, cfg: PipelineConfig,
       days: Set[String]): DataFrame = {
     val schema = readSchema(cfg)
-    val files = days.toSeq.sorted.flatMap(d =>
-      listInputFiles(spark, s"${cfg.inputPath}/day=$d"))
+    val files = listDayFiles(spark, cfg.inputPath, days)
     val input =
       if (files.isEmpty)
         spark.createDataFrame(

@@ -92,13 +92,31 @@ object Lineage {
     * stamp may postdate the last audit and reopens the day. Redrive
     * commits carry `epoch` here precisely so they never advance a
     * day's stamp (they observe manifest keys, not the day directory).
+    *
+    * MIGRATION NOTE: lineage rows committed by pre-seal-audit builds
+    * stamped `committed_at` at cycle END (after the listing), so a file
+    * that landed mid-cycle under the old code can carry an mtime below
+    * the stamp and would not trigger a reopen. When upgrading a live
+    * checkpoint where that sub-cycle window matters, run one cycle with
+    * `PipelineConfig.reauditDays` covering the sealed days — the forced
+    * audit manifests anything the old stamps would hide.
     */
   def observationsAt(spark: SparkSession, dir: String): Map[String, Long] =
-    readAt(spark, dir)
-      .groupBy(col("day")).agg(max(col("committed_at")).as("obs"))
+    stateAt(spark, dir)._2
+
+  /** Watermarks AND observation stamps from ONE lineage read — the
+    * per-cycle lookup (the reference's 3.8.2 "read sincedb once per
+    * cycle" discipline, CHANGELOG.md:8, applies to both aggregates).
+    */
+  def stateAt(spark: SparkSession,
+      dir: String): (Map[String, Timestamp], Map[String, Long]) = {
+    val rows = readAt(spark, dir)
+      .groupBy(col("day"))
+      .agg(max(col("last_ts")).as("wm"), max(col("committed_at")).as("obs"))
       .collect()
-      .map(r => r.getString(0) -> r.getTimestamp(1).getTime)
-      .toMap
+    (rows.map(r => r.getString(0) -> r.getTimestamp(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getTimestamp(2).getTime).toMap)
+  }
 
   /** Set of committed batch ids — published sink batches not in this set
     * are orphans from a crashed run and must be ignored by readers

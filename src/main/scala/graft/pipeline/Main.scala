@@ -32,7 +32,9 @@ object Main {
     // semantics), from the config's resolved lineage location (identity-
     // keyed when lineagePath is set — the sincedb_path analog)
     val lineageDir = Lineage.dirFor(cfg)
-    val wms = Lineage.watermarksAt(spark, lineageDir)
+    // ONE lineage read serves both per-cycle aggregates (watermarks +
+    // observation stamps — the 3.8.2 read-once discipline)
+    val (wms, obsMs) = Lineage.stateAt(spark, lineageDir)
     val batchId = Lineage.batchId(asOf, wms, Lineage.checkpointId(cfg))
     // the cycle's observation stamp, taken BEFORE any listing: every
     // file this cycle's listings/audits cover has mtime >= nothing the
@@ -46,13 +48,17 @@ object Main {
     // plus any sealed days REOPENED by a post-seal landing (detected
     // from the dir mtimes the walk already fetched; such days are not
     // listed — all their rows are behind the end-of-day watermark —
-    // but owe a seal audit + refresh commit below)
+    // but owe a seal audit + refresh commit below). The operator can
+    // force the same audit for days the mtime check cannot see
+    // (reauditDays — nested-subdir appends, object stores, pre-upgrade
+    // stamps); non-sealed entries are ignored, normal discovery covers
+    // them.
     val sealedAtMs: Map[String, Long] =
-      if (cfg.sealDaysGraceSeconds < 0) Map.empty
-      else Lineage.observationsAt(spark, lineageDir)
+      if (cfg.sealDaysGraceSeconds < 0) Map.empty else obsMs
     val disc = Discover.discover(spark, cfg, asOf, wms, sealedAtMs)
     val (delta, deferredCold) = (disc.delta, disc.deferredCold)
-    val reopened = disc.reopenedSealedDays
+    val reopened = disc.reopenedSealedDays ++
+      cfg.reauditDays.toSet.intersect(Discover.completedDays(wms))
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
     // so consumers that drop columns shuffle less — see Pipeline)
@@ -122,20 +128,30 @@ object Main {
     // structural, not best-effort). Deferred rows still ABOVE the new
     // watermark are deliberately NOT manifested: normal discovery
     // re-evaluates them next cycle, and a later cycle manifests them if
-    // and when it strands them.
+    // and when it strands them — EXCEPT in a day being sealed or
+    // reopened, where "next cycle" no longer exists (the partition
+    // drops out of the listing): there the audit manifests EVERY
+    // unpublished row regardless of ts (including day/ts-mismatch rows
+    // with ts past end-of-day) and the commit ABSORBS their max ts into
+    // the day's watermark, so "manifested => behind the committed
+    // watermark" — the invariant redrive's exactly-once rests on —
+    // holds unconditionally.
     val effWms: Map[String, Timestamp] = wms ++
       newWms.map { case (d, mx, _) => d -> sealed_(d, mx) } ++
       sealCommits.map(c => c.day -> c.last_ts)
     // audit scope: days whose committed watermark TRANSITIONS to
     // end-of-day this cycle (seal with a prior wm — a day first seen
-    // and sealed in one cycle has no behind-watermark rows to audit),
-    // plus reopened days (wm already at end-of-day)
-    val auditWms: Map[String, Timestamp] =
-      effWms.filter { case (d, w) =>
-        wms.get(d).exists(old => old.before(w)) &&
-          Discover.endOfDayTs(d).exists(e => !w.before(e))
-      } ++ reopened.map(d => d -> wms(d))
-    def writeStranded(): Unit = {
+    // and sealed in one cycle has no unpublished rows to audit), plus
+    // reopened/force-reaudited days (wm already at end-of-day)
+    val auditDays: Set[String] =
+      effWms.keySet.filter { d =>
+        wms.get(d).exists(old =>
+          old.before(effWms(d)) &&
+            Discover.endOfDayTs(d).exists(e => !effWms(d).before(e)))
+      } ++ reopened
+    // returns the per-day max ts of the rows it manifested, for the
+    // commit to absorb
+    def writeStranded(): Map[String, Timestamp] = {
       val cold =
         if (cfg.s6Configured && effWms.nonEmpty) {
           val effDf = effWms.toSeq.toDF("day", "_effwm")
@@ -143,15 +159,25 @@ object Main {
             .filter(col("ts") <= col("_effwm")).drop("_effwm"))
         } else None
       val audit =
-        if (auditWms.nonEmpty)
-          Some(auditStranded(spark, cfg, lineageDir, batchId, auditWms))
+        if (auditDays.nonEmpty)
+          Some(auditStranded(spark, cfg, lineageDir, batchId, auditDays))
         else None
       val stranded = (cold, audit) match {
         case (Some(c), Some(a)) => Some(c.unionByName(a).distinct())
         case (c, a) => c.orElse(a)
       }
-      stranded.foreach(df => Sinks.writeDeferred(df, cfg.sinkRoot,
-        Lineage.checkpointId(cfg), batchId))
+      stranded match {
+        case None => Map.empty
+        case Some(df) =>
+          val cached = df.cache()
+          Sinks.writeDeferred(cached, cfg.sinkRoot,
+            Lineage.checkpointId(cfg), batchId)
+          val absorb = cached.groupBy(col("day"))
+            .agg(max(col("ts")).as("mx")).collect()
+            .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+          cached.unpersist()
+          absorb
+      }
     }
 
     if (total == 0L) {
@@ -164,8 +190,9 @@ object Main {
       // the "nothing silently lost" invariant breaks exactly when it
       // matters
       if (sealCommits.nonEmpty || reopenCommits.nonEmpty) {
-        writeStranded()
-        Lineage.commitAt(spark, lineageDir, sealCommits ++ reopenCommits)
+        val absorb = writeStranded()
+        Lineage.commitAt(spark, lineageDir,
+          absorbInto(sealCommits ++ reopenCommits, absorb))
         Lineage.compactAt(spark, lineageDir)
       }
       return CycleResult(batchId, 0L, Seq.empty)
@@ -190,38 +217,39 @@ object Main {
     CycleResult(batchId, total, published)
   }
 
-  /** The seal audit: for each (day -> audit watermark), every source
-    * row at-or-below the watermark that was neither published (any
-    * sink, committed batches plus the in-flight one) nor already
-    * manifested — i.e. rows the engine has NO record of, which the
-    * sealed listing prune is about to make permanently undiscoverable.
-    * Scope `ts <= end-of-day` (not the pre-cycle watermark) so a file
-    * landing between the cycle's delta pin and this audit's own pin is
-    * covered too: its unpublished rows manifest here instead of
-    * vanishing into the seal.
+  /** The seal audit: for each audited day, EVERY source row (no ts
+    * cap) that was neither published (any sink, committed batches plus
+    * the in-flight one) nor already manifested — i.e. rows the engine
+    * has NO record of, which the sealed listing prune is about to make
+    * permanently undiscoverable. The uncapped scope covers a file
+    * landing between the cycle's delta pin and this audit's own pin,
+    * rows the cutoff deferred past the seal, AND day/ts-mismatch rows
+    * whose ts lies beyond the partition's end-of-day (a data-contract
+    * violation nothing in the engine can prevent a producer from
+    * committing): all of them manifest here instead of vanishing into
+    * the seal. The caller absorbs the manifested max ts into the day's
+    * commit, keeping "manifested => behind the committed watermark"
+    * unconditional.
     *
-    * Plan shape: the day scan is partition-scoped ([[Discover.dayRows]]);
-    * the published-keys side is day-filtered with pushed predicates;
-    * the anti-joins run on (conv_id, turn_idx, day) with strategy left
-    * to the planner — both sides are day-partition-sized, paid once per
-    * day lifetime (at seal) plus once per post-seal landing.
+    * Plan shape: the day scan is partition-scoped ([[Discover.dayRows]],
+    * day dirs found at any depth); the published-keys side is
+    * day-filtered with pushed predicates; the anti-joins run on
+    * (conv_id, turn_idx, day) with strategy left to the planner — both
+    * sides are day-partition-sized, paid once per day lifetime (at
+    * seal) plus once per post-seal landing or forced re-audit.
     */
   private def auditStranded(spark: SparkSession, cfg: PipelineConfig,
       lineageDir: String, batchId: String,
-      auditWms: Map[String, Timestamp]): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
+      auditDays: Set[String]): org.apache.spark.sql.DataFrame = {
     val keys = Seq("conv_id", "turn_idx", "day")
-    val wmDf = auditWms.toSeq.toDF("day", "_awm")
-    val behind = Discover.dayRows(spark, cfg, auditWms.keySet)
-      .join(broadcast(wmDf), Seq("day"))
-      .filter(col("ts") <= col("_awm")).drop("_awm")
+    val rows = Discover.dayRows(spark, cfg, auditDays)
     val published = Sinks.publishedKeys(spark, cfg.sinkRoot, lineageDir,
-      auditWms.keySet, batchId)
+      auditDays, batchId)
     val manifestDirs = Sinks.partitionCommitted(
       Sinks.batchDirs(spark,
         Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))),
       Lineage.committedBatchesAt(spark, lineageDir))._1
-    val unpub = behind.join(published, keys, "left_anti")
+    val unpub = rows.join(published, keys, "left_anti")
     if (manifestDirs.isEmpty) unpub
     else unpub.join(
       spark.read.parquet(manifestDirs: _*).select(keys.map(col): _*),
@@ -240,10 +268,21 @@ object Main {
     * sequence is how it got archive/metrics/consumption in the first
     * place).
     */
+  /** Raise commit watermarks to cover rows the stranded manifest just
+    * absorbed (day -> max manifested ts): a manifested row must sit at
+    * or below its day's committed watermark, or redrive's
+    * behind-the-watermark guard would never release it.
+    */
+  private def absorbInto(commits: Seq[Lineage.Commit],
+      absorb: Map[String, Timestamp]): Seq[Lineage.Commit] =
+    commits.map(c => absorb.get(c.day).filter(_.after(c.last_ts))
+      .map(t => c.copy(last_ts = t)).getOrElse(c))
+
   private def publishBatch(spark: SparkSession, cfg: PipelineConfig,
       lineageDir: String, batchId: String,
       routed: org.apache.spark.sql.DataFrame,
-      commits: Seq[Lineage.Commit], beforeCommit: () => Unit): Seq[String] = {
+      commits: Seq[Lineage.Commit],
+      beforeCommit: () => Map[String, Timestamp]): Seq[String] = {
     Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
@@ -251,9 +290,9 @@ object Main {
         // faithful copy incl. the configured S6 metadata columns
         Seq(cfg.storageClassCol, cfg.restoreHeaderCol)
           .filter(c => c != null && c.nonEmpty))
-    beforeCommit()
+    val absorb = beforeCommit()
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
-    Lineage.commitAt(spark, lineageDir, commits)
+    Lineage.commitAt(spark, lineageDir, absorbInto(commits, absorb))
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
@@ -388,8 +427,12 @@ object Main {
     val published = publishBatch(spark, cfg, lineageDir, batchId, routed,
       days,
       // ledger BEFORE commit — see the crash-window analysis above
-      () => redrivenKeys.write.mode("overwrite").parquet(
-        s"${Sinks.redrivenDir(cfg.sinkRoot, cid)}/batch=$batchId"))
+      // (a redrive manifests nothing, so no watermark absorption)
+      () => {
+        redrivenKeys.write.mode("overwrite").parquet(
+          s"${Sinks.redrivenDir(cfg.sinkRoot, cid)}/batch=$batchId")
+        Map.empty
+      })
     routed.unpersist()
     eligibleNow.unpersist()
     CycleResult(batchId, total, published)
@@ -452,7 +495,9 @@ object Main {
       backupAddPrefix = opts.getOrElse("backup-add-prefix", null),
       deleteAfterProcess = opts.get("delete-after-process")
         .exists(_.toBoolean),
-      sealDaysGraceSeconds = opts.getOrElse("seal-days-grace", "-1").toInt)
+      sealDaysGraceSeconds = opts.getOrElse("seal-days-grace", "-1").toInt,
+      reauditDays = opts.get("reaudit-days")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
     val res =
       if (redrive) redriveDeferred(spark, cfg, asOf)
       else runCycle(spark, cfg, asOf)

@@ -98,10 +98,28 @@ case class EnrichedTurn(
   *                        sealed day are watermark-skipped like the
   *                        reference skips objects behind sincedb — but
   *                        never lost: the seal-time audit manifests
-  *                        every unpublished behind-watermark row, and a
-  *                        post-seal landing reopens the day for one
-  *                        audit cycle (Main.runCycle), so everything
-  *                        stranded stays redrivable
+  *                        every unpublished row, and a post-seal
+  *                        landing reopens the day for one audit cycle
+  *                        (Main.runCycle), so everything stranded
+  *                        stays redrivable. Automatic reopen DETECTION
+  *                        relies on the day directory's mtime
+  *                        advancing, which holds when new files land
+  *                        as direct children of the day dir or in
+  *                        newly created subdirs (any POSIX/HDFS
+  *                        filesystem); for writers appending into
+  *                        pre-existing nested subdirs, or object
+  *                        stores without directory mtimes, use
+  *                        `reauditDays`
+  * @param reauditDays     operational escape hatch: sealed days to
+  *                        force-audit THIS cycle regardless of the
+  *                        mtime check — covers backfill landings the
+  *                        automatic detection cannot see (see
+  *                        `sealDaysGraceSeconds`) and pre-upgrade
+  *                        lineage stamps (Lineage.observationsAt
+  *                        migration note). Idempotent and exactly-once
+  *                        like every audit; non-sealed days in the
+  *                        list are ignored (normal discovery still
+  *                        covers them)
   */
 case class PipelineConfig(
     inputPath: String,
@@ -123,7 +141,8 @@ case class PipelineConfig(
     lineagePath: String = null,
     backupAddPrefix: String = null,
     deleteAfterProcess: Boolean = false,
-    sealDaysGraceSeconds: Int = -1) {
+    sealDaysGraceSeconds: Int = -1,
+    reauditDays: Seq[String] = Nil) {
 
   /** The ONE definition of "S6 is configured" (empty string == null ==
     * disabled) — gates the eligibility predicate, the schema extension,

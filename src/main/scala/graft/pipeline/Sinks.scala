@@ -273,8 +273,9 @@ object Sinks {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sinkDirs =
       if (!fs.exists(rootPath)) Seq.empty
-      else fs.listStatus(rootPath).toSeq.map(_.getPath)
-        .filter(p => fs.getFileStatus(p).isDirectory)
+      else fs.listStatus(rootPath).toSeq
+        .filter(_.isDirectory) // the listing already carries the bit
+        .map(_.getPath)
         .filterNot(p => p.getName.startsWith("_") ||
           p.getName.startsWith(".") ||
           p.getName == "archive" || // prefixed COPIES, not deliveries

@@ -1230,6 +1230,125 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       at("2025-09-05T00:00:00Z")).rowsProcessed == 0L)
   }
 
+  test("seal audit finds day partitions at ANY depth: a post-seal " +
+      "backfill into a nested day dir is detected, manifested and " +
+      "redriven") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso),
+        "2025-11-01")
+    val in = s"$scratch/nest_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    // day partitions nested one level below the input root
+    Seq(row("w1", "2025-11-01T10:00:00Z"), row("w2", "2025-11-01T11:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day")
+      .parquet(s"$in/src=a")
+    val cfg = PipelineConfig(in, s"$scratch/nest_sinks",
+      sealDaysGraceSeconds = 0)
+    val r1 = Main.runCycle(spark, cfg, at("2025-11-03T00:00:00Z"))
+    assert(r1.rowsProcessed == 2L, "nested day partitions are discovered")
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg.sinkRoot)) == Set("2025-11-01"))
+
+    Seq(row("late", "2025-11-01T10:30:00Z"))
+      .toDF(cols: _*).write.mode("append").partitionBy("day")
+      .parquet(s"$in/src=a")
+    val r2 = Main.runCycle(spark, cfg, at("2025-11-03T01:00:00Z"))
+    assert(r2.rowsProcessed == 0L)
+    val m2 = spark.read.parquet(
+      s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r2.batchId}")
+    assert(m2.select($"conv_id").collect().map(_.getString(0)).toSeq ==
+      Seq("late"),
+      "the audit must scan the nested day partition, not <input>/day=...")
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2025-11-04T00:00:00Z")).rowsProcessed == 1L)
+  }
+
+  test("reauditDays escape hatch: a backfill the mtime check cannot see " +
+      "is recovered by a forced re-audit (object-store / nested-append " +
+      "blind spot)") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso),
+        "2025-12-01")
+    val in = s"$scratch/ra_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    Seq(row("w1", "2025-12-01T10:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/ra_sinks",
+      sealDaysGraceSeconds = 0)
+    val cid = Lineage.checkpointId(cfg)
+    val r1 = Main.runCycle(spark, cfg, at("2025-12-03T00:00:00Z"))
+    assert(r1.rowsProcessed == 1L)
+
+    // backfill lands, but the day dir's mtime does NOT advance (the
+    // object-store / pre-existing-nested-subdir case, simulated by
+    // resetting the mtime after the landing)
+    Seq(row("late", "2025-12-01T10:30:00Z"))
+      .toDF(cols: _*).write.mode("append").partitionBy("day").parquet(in)
+    assert(new java.io.File(s"$in/day=2025-12-01").setLastModified(1000L))
+
+    // automatic detection cannot fire: no reopen, nothing manifested
+    val dirsBefore = Sinks.batchDirs(spark, Sinks.deferredDir(cfg.sinkRoot, cid)).size
+    val r2 = Main.runCycle(spark, cfg, at("2025-12-03T01:00:00Z"))
+    assert(r2.rowsProcessed == 0L)
+    assert(Sinks.batchDirs(spark,
+      Sinks.deferredDir(cfg.sinkRoot, cid)).size == dirsBefore,
+      "the blind spot is real: no automatic reopen without an mtime bump")
+
+    // the operator forces the audit — the backfill is manifested and
+    // redriven exactly once
+    val r3 = Main.runCycle(spark,
+      cfg.copy(reauditDays = Seq("2025-12-01")), at("2025-12-03T02:00:00Z"))
+    assert(r3.rowsProcessed == 0L)
+    val m3 = spark.read.parquet(
+      s"${Sinks.deferredDir(cfg.sinkRoot, cid)}/batch=${r3.batchId}")
+    assert(m3.select($"conv_id").collect().map(_.getString(0)).toSeq ==
+      Seq("late"))
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2025-12-04T00:00:00Z")).rowsProcessed == 1L)
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2025-12-05T00:00:00Z")).rowsProcessed == 0L)
+  }
+
+  test("day/ts-mismatch rows (ts past end-of-day) are audited and the " +
+      "commit absorbs their ts — manifested stays behind the watermark") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, iso: String) =
+      (c, 0, "user", s"$iso INFO [user] x", null: String, at(iso),
+        "2026-01-01")
+    val in = s"$scratch/mis_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    Seq(row("w1", "2026-01-01T10:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/mis_sinks",
+      sealDaysGraceSeconds = 0)
+    val r1 = Main.runCycle(spark, cfg, at("2026-01-03T00:00:00Z"))
+    assert(r1.rowsProcessed == 1L)
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg.sinkRoot)) == Set("2026-01-01"))
+
+    // a producer violates day == date(ts): the row lands in the sealed
+    // 2026-01-01 partition with a ts past that day's end
+    Seq(row("mis", "2026-01-02T00:00:05Z"))
+      .toDF(cols: _*).write.mode("append").partitionBy("day").parquet(in)
+    val r2 = Main.runCycle(spark, cfg, at("2026-01-03T01:00:00Z"))
+    assert(r2.rowsProcessed == 0L)
+    val m2 = spark.read.parquet(
+      s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r2.batchId}")
+    assert(m2.select($"conv_id").collect().map(_.getString(0)).toSeq ==
+      Seq("mis"),
+      "the audit has no ts cap — a ts beyond end-of-day must not hide the row")
+    // the refresh commit absorbed the mismatch ts into the watermark,
+    // so the manifested row is behind it (redrive's release condition)
+    assert(Lineage.watermarks(spark, cfg.sinkRoot)("2026-01-01") ==
+      at("2026-01-02T00:00:05Z"))
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2026-01-04T00:00:00Z")).rowsProcessed == 1L)
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2026-01-05T00:00:00Z")).rowsProcessed == 0L)
+  }
+
   test("seal-time audit: a warm backfill that landed BEHIND the watermark " +
       "before the day sealed is manifested by the sealing cycle") {
     def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))

@@ -163,8 +163,16 @@ class PlanSpec extends AnyFunSuite {
       "on the id key — no cartesian/nested-loop, iterations hard-bounded") {
     // label propagation at 10^9 nodes lives or dies on the per-iteration
     // join being a hash/sort equi-join; a BroadcastNestedLoopJoin or
-    // CartesianProduct here is O(V*E) rows moved
-    val plan = physical(graft.Queries.d18(spark, "/root/testdata/sf0.001"))
+    // CartesianProduct here is O(V*E) rows moved. The pin targets the
+    // UN-checkpointed production step (Dedup.propagationStep) — the
+    // full d18 plan is truncated to LogicalRDD leaves by the eager
+    // localCheckpoints, so asserting on it would be vacuous.
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst"))).distinct()
+    val labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+    val plan = physical(graft.ops.Dedup.propagationStep(edges, labels))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"label propagation must join by key, not all-pairs:\n$plan")
