@@ -323,6 +323,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[String]("json_message") == "again")
   }
 
+  test("multiline codec parity across micro-batches: a CUSTOM " +
+      "continuation pattern glues records over the batch boundary " +
+      "exactly like the batch run") {
+    val input = s"$scratch/mc_input"
+    val sinkRoot = s"$scratch/mc_sinks"
+    val ckpt = s"$scratch/mc_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // '+'-prefixed lines continue the previous record — NOT the grok
+    // default (whitespace), so any codec fallback is visible
+    val codec = Pipeline.MultilineCodec(
+      Parse.MultilineConfig("^\\+", negate = false, what = "previous"))
+    val fileA = Seq(
+      Turn("mc", 0, "user", "2025-01-01T00:00:01Z INFO [user] one", null, ts0),
+      Turn("mc", 1, "user", "+more of one", null, ts0))
+    val fileB = Seq(
+      Turn("mc", 2, "user", "+still one, across the boundary", null, ts0),
+      Turn("mc", 3, "user", "2025-01-01T00:00:04Z INFO [user] two", null, ts0),
+      Turn("md", 0, "user", "2025-01-01T00:00:05Z INFO [user] fresh", null, ts0))
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    val q = Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1, codec = codec)
+    q.awaitTermination()
+
+    val cols = Seq($"conv_id", $"turn_idx", $"sink", $"session_id")
+    val streamed = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream").select(cols: _*)
+    val batch = Pipeline((fileA ++ fileB).toDS(), codec = codec)
+      .select(cols: _*)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"streaming multiline codec must equal batch:\n" +
+        s"stream=${streamed.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}\n" +
+        s"batch=${batch.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}")
+    val sess = streamed.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(sess(("mc", 2)) == sess(("mc", 1)),
+      "the '+' continuation crossing the batch boundary stays in its record")
+    assert(sess(("mc", 3)) != sess(("mc", 2)),
+      "a non-matching line opens a new record")
+  }
+
   test("flatMapGroupsWithState header propagation carries state ACROSS micro-batches") {
     val ts0 = new Timestamp(Synth.baseEpochMs)
     implicit val sqlCtx = spark.sqlContext
