@@ -111,46 +111,64 @@ object Discover {
     */
   def listInputFilesDetecting(spark: SparkSession, inputPath: String,
       sealedBeforeMs: Map[String, Long]): (Seq[String], Set[String]) = {
+    val reopened = Set.newBuilder[String]
+    val files = walkParquet(spark, inputPath, ())((st, _) => {
+      val name = st.getPath.getName
+      if (name.startsWith("day=")) {
+        sealedBeforeMs.get(name.stripPrefix("day=")) match {
+          case Some(stamp) =>
+            if (st.getModificationTime >= stamp)
+              reopened += name.stripPrefix("day=")
+            None // sealed: pruned from the walk either way
+          case None => Some(())
+        }
+      } else Some(())
+    })(_ => true)
+    (files, reopened.result())
+  }
+
+  /** The ONE filesystem walk under an input root — qualified root,
+    * hide-at-every-level, parquet-only files, sorted result. `descend`
+    * decides per directory whether to recurse and with what context
+    * (None = prune the subtree — the server-side-prefix discipline,
+    * s3.rb:144: a pruned partition is never even LISTED, which at 100x
+    * file counts is the cycle's fixed-cost win); `keep` decides per
+    * context whether files collect. Both listing variants and the seal
+    * audit's day scan ([[listDayFiles]]) are this walk with different
+    * decisions, so the correctness-bearing details exist ONCE:
+    *
+    *  - the root is qualified BEFORE any relativizing — for a relative
+    *    inputPath (or differently-qualified URI) a raw prefix match
+    *    would miss the absolute listed paths and silently empty the
+    *    delta;
+    *  - `_`/`.`-prefixed names hide at EVERY level, like Spark's own
+    *    InMemoryFileIndex: a file under `_temporary/` or `.staging/`
+    *    (an in-flight committer write) must never enter a pinned
+    *    snapshot — reading half-written parquet is exactly the race
+    *    the pin exists to close.
+    */
+  private def walkParquet[C](spark: SparkSession, inputPath: String,
+      init: C)(
+      descend: (org.apache.hadoop.fs.FileStatus, C) => Option[C])(
+      keep: C => Boolean): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(inputPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // qualify BEFORE relativizing: for a relative inputPath (or a
-    // differently-qualified URI) a raw stripPrefix would not match the
-    // absolute listed paths, so ancestor directories OUTSIDE the input
-    // root (e.g. /root/.cache) would get hidden-checked — silently
-    // excluding every file and yielding a permanently empty delta.
     val root = fs.makeQualified(new Path(inputPath))
-    if (!fs.exists(root)) return (Seq.empty, Set.empty)
+    if (!fs.exists(root)) return Seq.empty
     val out = Seq.newBuilder[String]
-    val reopened = Set.newBuilder[String]
-    // manual recursion (vs listFiles(recursive)) so a pruned day
-    // partition is never even LISTED — the server-side-prefix
-    // discipline (s3.rb:144; docs push `prefix` precisely to avoid
-    // listing what you'll drop). At 100x file counts the O(all-files)
-    // driver walk is the cycle's fixed cost; fully-committed days
-    // (watermark at end-of-day) drop out of it entirely.
-    def walk(dir: Path): Unit =
+    def walk(dir: Path, ctx: C): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
-        // hide-at-EVERY-level under the root, like Spark's own
-        // InMemoryFileIndex: a file under _temporary/ or .staging/ (an
-        // in-flight committer write) must not enter the pinned snapshot
-        // — reading half-written parquet is exactly the race the pin
-        // exists to close
         val hidden = name.startsWith("_") || name.startsWith(".")
         if (!hidden) {
-          if (st.isDirectory) {
-            val day = name.stripPrefix("day=")
-            sealedBeforeMs.get(day).filter(_ => name.startsWith("day=")) match {
-              case Some(stamp) =>
-                if (st.getModificationTime >= stamp) reopened += day
-              case None => walk(st.getPath)
-            }
-          } else if (name.endsWith(".parquet")) out += st.getPath.toString
+          if (st.isDirectory) descend(st, ctx).foreach(walk(st.getPath, _))
+          else if (keep(ctx) && name.endsWith(".parquet"))
+            out += st.getPath.toString
         }
       }
-    walk(root)
-    (out.result().sorted, reopened.result())
+    walk(root, init)
+    out.result().sorted
   }
 
   /** End-of-day instant for a `yyyy-MM-dd` partition value: next
@@ -326,9 +344,21 @@ object Discover {
     * text; an already-archived key) must never be classified as
     * "stranded", or the audit would manifest it for a redrive that can
     * never publish it.
+    *
+    * A null `ts` is part of the same contract: event time is the
+    * engine's backbone ([[Schema.turnSchema]] declares ts non-null; a
+    * parquet file can still smuggle nulls past schema-on-read), and a
+    * null-ts row is structurally unprocessable — the cutoff predicate
+    * can never admit it, a watermark can never cover it, and a
+    * manifest entry for it could never be released by redrive's
+    * behind-the-watermark guard. Excluding it HERE keeps the delta and
+    * the audit consistent by construction instead of by the cutoff's
+    * 3-valued-logic accident.
     */
   private def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
-    val guarded = df.filter(length(col("text")) > 0) // S3 zero-length skip
+    val guarded = df
+      .filter(col("ts").isNotNull) // schema contract (see above)
+      .filter(length(col("text")) > 0) // S3 zero-length skip
     // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
     // archive namespace (conv_id carrying the archive prefix) are never
     // discovered again — the anti-self-join done as a prefix predicate,
@@ -346,31 +376,14 @@ object Discover {
     * partition dirs are pruned from this walk wholesale.
     */
   def listDayFiles(spark: SparkSession, inputPath: String,
-      days: Set[String]): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(inputPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(new Path(inputPath))
-    if (!fs.exists(root)) return Seq.empty
-    val out = Seq.newBuilder[String]
-    def walk(dir: Path, inTarget: Boolean): Unit =
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        val hidden = name.startsWith("_") || name.startsWith(".")
-        if (!hidden) {
-          if (st.isDirectory) {
-            if (name.startsWith("day=")) {
-              val want = inTarget || days.contains(name.stripPrefix("day="))
-              if (want) walk(st.getPath, inTarget = true)
-              // else: another day's partition — pruned wholesale
-            } else walk(st.getPath, inTarget)
-          } else if (inTarget && name.endsWith(".parquet"))
-            out += st.getPath.toString
-        }
-      }
-    walk(root, inTarget = false)
-    out.result().sorted
-  }
+      days: Set[String]): Seq[String] =
+    walkParquet(spark, inputPath, false)((st, inTarget) => {
+      val name = st.getPath.getName
+      if (name.startsWith("day=")) {
+        if (inTarget || days.contains(name.stripPrefix("day="))) Some(true)
+        else None // another day's partition — pruned wholesale
+      } else Some(inTarget)
+    })(identity)
 
   /** Pinned scan of EXACTLY the given day partitions (full
     * [[readSchema]]), with only the design guards applied — no

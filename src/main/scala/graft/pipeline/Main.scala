@@ -139,15 +139,19 @@ object Main {
     val effWms: Map[String, Timestamp] = wms ++
       newWms.map { case (d, mx, _) => d -> sealed_(d, mx) } ++
       sealCommits.map(c => c.day -> c.last_ts)
-    // audit scope: days whose committed watermark TRANSITIONS to
-    // end-of-day this cycle (seal with a prior wm — a day first seen
-    // and sealed in one cycle has no unpublished rows to audit), plus
-    // reopened/force-reaudited days (wm already at end-of-day)
+    // audit scope: every day whose committed watermark TRANSITIONS to
+    // end-of-day this cycle — INCLUDING a day first seen and sealed in
+    // one cycle: with the uncapped audit its cutoff-deferred rows
+    // (possible exactly when they carry ts past end-of-day, the
+    // day/ts-mismatch class) are unpublished and about to be hidden,
+    // so "no prior watermark" is not "nothing to audit". Plus
+    // reopened/force-reaudited days (wm already at end-of-day). A
+    // quietly-sealed day (wm already at end-of-day, unchanged) is not
+    // re-audited.
     val auditDays: Set[String] =
       effWms.keySet.filter { d =>
-        wms.get(d).exists(old =>
-          old.before(effWms(d)) &&
-            Discover.endOfDayTs(d).exists(e => !effWms(d).before(e)))
+        Discover.endOfDayTs(d).exists(e => !effWms(d).before(e)) &&
+          wms.get(d).forall(old => old.before(effWms(d)))
       } ++ reopened
     // returns the per-day max ts of the rows it manifested, for the
     // commit to absorb
@@ -172,9 +176,13 @@ object Main {
           val cached = df.cache()
           Sinks.writeDeferred(cached, cfg.sinkRoot,
             Lineage.checkpointId(cfg), batchId)
+          // max ignores null ts; a day whose manifested rows are ALL
+          // null-ts yields a null max and is skipped (belt-and-braces:
+          // the design guards already exclude null-ts rows everywhere)
           val absorb = cached.groupBy(col("day"))
             .agg(max(col("ts")).as("mx")).collect()
-            .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+            .flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
+            .toMap
           cached.unpersist()
           absorb
       }
@@ -268,16 +276,6 @@ object Main {
     * sequence is how it got archive/metrics/consumption in the first
     * place).
     */
-  /** Raise commit watermarks to cover rows the stranded manifest just
-    * absorbed (day -> max manifested ts): a manifested row must sit at
-    * or below its day's committed watermark, or redrive's
-    * behind-the-watermark guard would never release it.
-    */
-  private def absorbInto(commits: Seq[Lineage.Commit],
-      absorb: Map[String, Timestamp]): Seq[Lineage.Commit] =
-    commits.map(c => absorb.get(c.day).filter(_.after(c.last_ts))
-      .map(t => c.copy(last_ts = t)).getOrElse(c))
-
   private def publishBatch(spark: SparkSession, cfg: PipelineConfig,
       lineageDir: String, batchId: String,
       routed: org.apache.spark.sql.DataFrame,
@@ -301,6 +299,16 @@ object Main {
         Lineage.committedBatchesAt(spark, lineageDir))
     published
   }
+
+  /** Raise commit watermarks to cover rows the stranded manifest just
+    * absorbed (day -> max manifested ts): a manifested row must sit at
+    * or below its day's committed watermark, or redrive's
+    * behind-the-watermark guard would never release it.
+    */
+  private def absorbInto(commits: Seq[Lineage.Commit],
+      absorb: Map[String, Timestamp]): Seq[Lineage.Commit] =
+    commits.map(c => absorb.get(c.day).filter(_.after(c.last_ts))
+      .map(t => c.copy(last_ts = t)).getOrElse(c))
 
   /** Re-drive the deferred-cold backlog: process manifest rows whose
     * restore has since COMPLETED, as a first-class batch. This is the

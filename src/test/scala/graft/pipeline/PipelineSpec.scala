@@ -1349,6 +1349,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       at("2026-01-05T00:00:00Z")).rowsProcessed == 0L)
   }
 
+  test("a day FIRST SEEN and sealed in one cycle is audited too: its " +
+      "cutoff-deferred day/ts-mismatch row is manifested, and a null-ts " +
+      "row is excluded by contract without crashing the commit") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, ts: Timestamp) =
+      (c, 0, "user", "2026-02-01T10:00:00Z INFO [user] x", null: String,
+        ts, "2026-02-01")
+    val in = s"$scratch/fs_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    Seq(row("w1", at("2026-02-01T10:00:00Z")),
+        // day/ts mismatch AND inside the cutoff window at cycle time
+        row("mis", at("2026-02-02T01:30:00Z")),
+        // schema-contract violation: null event time
+        row("nullts", null))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/fs_sinks",
+      cutoffSeconds = 3600, sealDaysGraceSeconds = 0)
+    val cid = Lineage.checkpointId(cfg)
+
+    // ONE cycle: the day has no prior watermark, w1 is processed, the
+    // day seals — and the audit must still run (the old prior-wm
+    // condition skipped first-seen days, silently losing `mis`)
+    val r1 = Main.runCycle(spark, cfg, at("2026-02-02T02:00:00Z"))
+    assert(r1.rowsProcessed == 1L, "only w1 is cutoff-eligible")
+    assert(Discover.completedDays(
+      Lineage.watermarks(spark, cfg.sinkRoot)) == Set("2026-02-01"))
+    val m1 = spark.read.parquet(
+      s"${Sinks.deferredDir(cfg.sinkRoot, cid)}/batch=${r1.batchId}")
+    assert(m1.select($"conv_id").collect().map(_.getString(0)).toSeq ==
+      Seq("mis"),
+      "the sealing cycle must manifest the cutoff-deferred mismatch row " +
+        "even with no prior watermark; null-ts rows are contract-excluded")
+    assert(Lineage.watermarks(spark, cfg.sinkRoot)("2026-02-01") ==
+      at("2026-02-02T01:30:00Z"), "commit absorbed the manifested ts")
+
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2026-02-02T03:00:00Z")).rowsProcessed == 1L)
+    assert(Main.redriveDeferred(spark, cfg,
+      at("2026-02-02T04:00:00Z")).rowsProcessed == 0L)
+    // the null-ts row is nowhere: not published, not manifested — the
+    // documented schema-contract exclusion, applied consistently
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
+      .reduce(_ unionByName _).collect().map(_.getString(0)).sorted
+    assert(visible.toSeq == Seq("mis", "w1"))
+  }
+
   test("seal-time audit: a warm backfill that landed BEHIND the watermark " +
       "before the day sealed is manifested by the sealing cycle") {
     def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
