@@ -353,7 +353,10 @@ object Discover {
     * manifest entry for it could never be released by redrive's
     * behind-the-watermark guard. Excluding it HERE keeps the delta and
     * the audit consistent by construction instead of by the cutoff's
-    * 3-valued-logic accident.
+    * 3-valued-logic accident. NOT a zero-trace drop: the seal audit
+    * quarantines null-ts rows of the audited days to the
+    * `_violations` namespace (Main.writeStranded), so the producer bug
+    * is durable and operator-visible.
     */
   private def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
     val guarded = df
@@ -392,17 +395,23 @@ object Discover {
     * and finds day dirs at any depth ([[listDayFiles]]).
     */
   def dayRows(spark: SparkSession, cfg: PipelineConfig,
+      days: Set[String]): DataFrame =
+    designGuards(cfg)(dayRowsRaw(spark, cfg, days))
+
+  /** As [[dayRows]] but UNGUARDED — the audit's contract-violation
+    * census reads this to quarantine rows the guards exclude (null ts)
+    * so a producer bug is operator-visible, never a zero-trace drop.
+    */
+  def dayRowsRaw(spark: SparkSession, cfg: PipelineConfig,
       days: Set[String]): DataFrame = {
     val schema = readSchema(cfg)
     val files = listDayFiles(spark, cfg.inputPath, days)
-    val input =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .option("basePath", cfg.inputPath) // keep day from the dir layout
-        .parquet(files: _*)
-    designGuards(cfg)(input)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .option("basePath", cfg.inputPath) // keep day from the dir layout
+      .parquet(files: _*)
   }
 
   private def baseDelta(spark: SparkSession, cfg: PipelineConfig,

@@ -163,9 +163,26 @@ object Main {
             .filter(col("ts") <= col("_effwm")).drop("_effwm"))
         } else None
       val audit =
-        if (auditDays.nonEmpty)
+        if (auditDays.nonEmpty) {
+          // contract-violation census: null-ts rows are structurally
+          // unprocessable (design guards) but must not vanish without
+          // a trace — quarantine them RAW, the batch analog of the
+          // streaming path's stream/_violations. The extra scan is
+          // ~free: IsNull(ts) pushes to parquet null-count stats.
+          val viol = Discover.dayRowsRaw(spark, cfg, auditDays)
+            .filter(col("ts").isNull).cache()
+          val nViol = viol.count()
+          if (nViol > 0) {
+            System.err.println(s"[audit] $nViol null-ts contract-" +
+              s"violation rows in ${auditDays.toSeq.sorted.mkString(",")} " +
+              s"quarantined to _violations (batch=$batchId)")
+            viol.write.mode("overwrite").parquet(
+              s"${cfg.sinkRoot}/_violations/${Lineage.checkpointId(cfg)}" +
+                s"/batch=$batchId")
+          }
+          viol.unpersist()
           Some(auditStranded(spark, cfg, lineageDir, batchId, auditDays))
-        else None
+        } else None
       val stranded = (cold, audit) match {
         case (Some(c), Some(a)) => Some(c.unionByName(a).distinct())
         case (c, a) => c.orElse(a)

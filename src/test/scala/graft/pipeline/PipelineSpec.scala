@@ -1388,12 +1388,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       at("2026-02-02T03:00:00Z")).rowsProcessed == 1L)
     assert(Main.redriveDeferred(spark, cfg,
       at("2026-02-02T04:00:00Z")).rowsProcessed == 0L)
-    // the null-ts row is nowhere: not published, not manifested — the
-    // documented schema-contract exclusion, applied consistently
+    // the null-ts row is neither published nor manifested (the
+    // schema-contract exclusion) — but NOT a zero-trace drop: the
+    // audit quarantined it to the _violations namespace
     val visible = Route.sinkNames
       .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
       .reduce(_ unionByName _).collect().map(_.getString(0)).sorted
     assert(visible.toSeq == Seq("mis", "w1"))
+    val viol = spark.read.parquet(
+      s"${cfg.sinkRoot}/_violations/$cid/batch=${r1.batchId}")
+    assert(viol.select($"conv_id").collect().map(_.getString(0)).toSeq ==
+      Seq("nullts"),
+      "a producer contract violation must be durably operator-visible")
   }
 
   test("seal-time audit: a warm backfill that landed BEHIND the watermark " +
