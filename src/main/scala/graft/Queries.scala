@@ -796,11 +796,12 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** The MinHash-LSH candidate-pair CTE chain (through `pairs`) —
-    * shared verbatim by the d08 oracle and the d18 cluster-resolution
-    * oracle so the two can never disagree on the pair set.
+  /** The MinHash-LSH candidate-pair CTE chain (through `pairs`) over a
+    * given document relation — shared verbatim by the d08 oracle, the
+    * d18 cluster-resolution oracle and the d19 curated-corpus oracle so
+    * the three can never disagree on the pair set.
     */
-  private val lshPairCtes: String = {
+  private def lshPairCtes(docsRel: String = "documents"): String = {
     val mins = (0 until 8)
       .map(i => s"min(substr(md5(s), ${1 + 4 * i}, 4)) AS mh$i")
       .mkString(", ")
@@ -808,7 +809,7 @@ object Queries {
       .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS sig FROM mh")
       .mkString(" UNION ALL ")
     s"""d AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM $docsRel),
        sh AS (SELECT DISTINCT doc_id,
               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
               FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
@@ -824,7 +825,7 @@ object Queries {
   }
 
   val d08Sql: String =
-    s"""WITH $lshPairCtes
+    s"""WITH ${lshPairCtes()}
        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"""
 
   /** Near-dup cluster resolution (d18): fold the LSH candidate pairs
@@ -846,18 +847,61 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  val d18Sql: String =
-    s"""WITH RECURSIVE $lshPairCtes,
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  /** The undirected-reachability CTEs over `pairs` (shared by d18/d19):
+    * cluster label = min id reachable in the pair graph.
+    */
+  private val reachCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
        nodes AS (SELECT DISTINCT src AS id FROM edges),
        reach(id, r) AS (
          SELECT id, id FROM nodes
          UNION
-         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)"""
+
+  val d18Sql: String =
+    s"""WITH RECURSIVE ${lshPairCtes()},
+       $reachCtes
        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
               min(r) = id AS keep
        FROM reach GROUP BY id ORDER BY doc_id"""
+
+  /** End-to-end curated-corpus materialization (d19): exact dedup
+    * (survivor = min doc_id per normalized fingerprint) -> MinHash-LSH
+    * pairs over the SURVIVORS -> cluster resolution -> drop near-dup
+    * non-survivors -> per-source census of what remains. This is the
+    * full "apply the dedup" pass a training-corpus build runs; every
+    * stage is the same operator its standalone query verifies
+    * (d01/d08/d18), composed.
+    */
+  def d19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val exact = Dedup.dropExactDups(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(exact, "doc_id", "text", 3, 8)
+    val drop = Dedup.resolveClusters(
+        Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 8, 2),
+          "doc_id"))
+      .filter(!col("keep"))
+      .select(col("id").cast("long").as("doc_id"))
+    exact.join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val d19Sql: String =
+    s"""WITH RECURSIVE k AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+       dd AS (SELECT d0.* FROM documents d0 JOIN k USING (doc_id)),
+       ${lshPairCtes("dd")},
+       $reachCtes,
+       lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       dropids AS (SELECT id FROM lbl WHERE cluster_id <> id)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       FROM dd WHERE doc_id NOT IN (SELECT id FROM dropids)
+       GROUP BY source ORDER BY source"""
 
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
@@ -1750,6 +1794,7 @@ object Queries {
     "d14_chunking" -> (d14 _),
     "d15_contamination" -> (d15 _),
     "d18_neardup_clusters" -> (d18 _),
+    "d19_curated_corpus" -> (d19 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -1809,6 +1854,7 @@ object Queries {
     "d14_chunking" -> d14Sql,
     "d15_contamination" -> d15Sql,
     "d18_neardup_clusters" -> d18Sql,
+    "d19_curated_corpus" -> d19Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
