@@ -183,4 +183,38 @@ object PipelineProps extends Properties("pipeline") {
         got.select($"id").collect().map(_.getInt(0)).toSet == expect
       }
     }
+
+  property("resolveClusters == reference union-find for any pair graph") =
+    forAll(Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 15), Gen.choose(0, 15)))) { rawPairs =>
+      val pairs = rawPairs.collect { case (a, b) if a != b =>
+        (f"n$a%02d", f"n$b%02d")
+      }
+      pairs.isEmpty || {
+        // reference: driver-side union-find over the same undirected graph
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: String, b: String): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.Ordering.String.max(ra, rb)) =
+            math.Ordering.String.min(ra, rb)
+        }
+        pairs.foreach { case (a, b) => union(a, b) }
+        val expect = parent.keys
+          .map(n => n -> find(n)).toMap // min id per component by union rule
+        val (df, _, converged) = graft.ops.Dedup.resolveClustersIter(
+          pairs.toDF("id_a", "id_b"))
+        val got = df.collect()
+          .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+          .toMap
+        converged &&
+          got.keySet == expect.keySet &&
+          got.forall { case (id, (label, keep)) =>
+            label == expect(id) && keep == (id == label)
+          }
+      }
+    }
 }
