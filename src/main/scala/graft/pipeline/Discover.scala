@@ -353,12 +353,17 @@ object Discover {
     * manifest entry for it could never be released by redrive's
     * behind-the-watermark guard. Excluding it HERE keeps the delta and
     * the audit consistent by construction instead of by the cutoff's
-    * 3-valued-logic accident. NOT a zero-trace drop: the seal audit
-    * quarantines null-ts rows of the audited days to the
-    * `_violations` namespace (Main.writeStranded), so the producer bug
-    * is durable and operator-visible.
+    * 3-valued-logic accident. Trace semantics, stated precisely: the
+    * exclusion never DESTROYS or HIDES the row — it stays in the
+    * source, listable by any scan, for as long as its partition is
+    * listed. The one moment it would become invisible is a day SEAL
+    * (the partition leaves the listing), and exactly there the seal
+    * audit quarantines null-ts rows to the `_violations` namespace
+    * (Main.quarantineViolations), making the producer bug durable and
+    * operator-visible. A non-sealing deployment never hides the
+    * partition, so the row remains observable in place.
     */
-  private def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
+  private[pipeline] def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
     val guarded = df
       .filter(col("ts").isNotNull) // schema contract (see above)
       .filter(length(col("text")) > 0) // S3 zero-length skip
@@ -400,7 +405,8 @@ object Discover {
 
   /** As [[dayRows]] but UNGUARDED — the audit's contract-violation
     * census reads this to quarantine rows the guards exclude (null ts)
-    * so a producer bug is operator-visible, never a zero-trace drop.
+    * before a seal hides their partition (see the [[designGuards]]
+    * trace-semantics note).
     */
   def dayRowsRaw(spark: SparkSession, cfg: PipelineConfig,
       days: Set[String]): DataFrame = {

@@ -162,33 +162,23 @@ object Main {
           Some(deferredCold.join(broadcast(effDf), Seq("day"))
             .filter(col("ts") <= col("_effwm")).drop("_effwm"))
         } else None
-      val audit =
-        if (auditDays.nonEmpty) {
-          // contract-violation census: null-ts rows are structurally
-          // unprocessable (design guards) but must not vanish without
-          // a trace — quarantine them RAW, the batch analog of the
-          // streaming path's stream/_violations. The extra scan is
-          // ~free: IsNull(ts) pushes to parquet null-count stats.
-          val viol = Discover.dayRowsRaw(spark, cfg, auditDays)
-            .filter(col("ts").isNull).cache()
-          val nViol = viol.count()
-          if (nViol > 0) {
-            System.err.println(s"[audit] $nViol null-ts contract-" +
-              s"violation rows in ${auditDays.toSeq.sorted.mkString(",")} " +
-              s"quarantined to _violations (batch=$batchId)")
-            viol.write.mode("overwrite").parquet(
-              s"${cfg.sinkRoot}/_violations/${Lineage.checkpointId(cfg)}" +
-                s"/batch=$batchId")
-          }
-          viol.unpersist()
-          Some(auditStranded(spark, cfg, lineageDir, batchId, auditDays))
-        } else None
+      // ONE pinned listing/scan of the audited days serves both the
+      // violation census and the stranded audit — two separately-pinned
+      // walks could disagree on the file set within one cycle
+      val rawAudit =
+        if (auditDays.nonEmpty)
+          Some(Discover.dayRowsRaw(spark, cfg, auditDays).cache())
+        else None
+      rawAudit.foreach(raw =>
+        quarantineViolations(spark, cfg, lineageDir, batchId, raw))
+      val audit = rawAudit.map(raw => auditStranded(spark, cfg, lineageDir,
+        batchId, auditDays, Discover.designGuards(cfg)(raw)))
       val stranded = (cold, audit) match {
         case (Some(c), Some(a)) => Some(c.unionByName(a).distinct())
         case (c, a) => c.orElse(a)
       }
-      stranded match {
-        case None => Map.empty
+      val absorb = stranded match {
+        case None => Map.empty[String, Timestamp]
         case Some(df) =>
           val cached = df.cache()
           Sinks.writeDeferred(cached, cfg.sinkRoot,
@@ -196,13 +186,15 @@ object Main {
           // max ignores null ts; a day whose manifested rows are ALL
           // null-ts yields a null max and is skipped (belt-and-braces:
           // the design guards already exclude null-ts rows everywhere)
-          val absorb = cached.groupBy(col("day"))
+          val m = cached.groupBy(col("day"))
             .agg(max(col("ts")).as("mx")).collect()
             .flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
             .toMap
           cached.unpersist()
-          absorb
+          m
       }
+      rawAudit.foreach(_.unpersist())
+      absorb
     }
 
     if (total == 0L) {
@@ -256,18 +248,19 @@ object Main {
     * commit, keeping "manifested => behind the committed watermark"
     * unconditional.
     *
-    * Plan shape: the day scan is partition-scoped ([[Discover.dayRows]],
-    * day dirs found at any depth); the published-keys side is
-    * day-filtered with pushed predicates; the anti-joins run on
-    * (conv_id, turn_idx, day) with strategy left to the planner — both
-    * sides are day-partition-sized, paid once per day lifetime (at
-    * seal) plus once per post-seal landing or forced re-audit.
+    * Plan shape: `rows` is the cycle's ONE pinned partition-scoped day
+    * scan (Discover.dayRowsRaw through the design guards — shared with
+    * the violation census so the two cannot see different file sets);
+    * the published-keys side is day-filtered with pushed predicates;
+    * the anti-joins run on (conv_id, turn_idx, day) with strategy left
+    * to the planner — both sides are day-partition-sized, paid once
+    * per day lifetime (at seal) plus once per post-seal landing or
+    * forced re-audit.
     */
   private def auditStranded(spark: SparkSession, cfg: PipelineConfig,
-      lineageDir: String, batchId: String,
-      auditDays: Set[String]): org.apache.spark.sql.DataFrame = {
+      lineageDir: String, batchId: String, auditDays: Set[String],
+      rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keys = Seq("conv_id", "turn_idx", "day")
-    val rows = Discover.dayRows(spark, cfg, auditDays)
     val published = Sinks.publishedKeys(spark, cfg.sinkRoot, lineageDir,
       auditDays, batchId)
     val manifestDirs = Sinks.partitionCommitted(
@@ -315,6 +308,40 @@ object Main {
       Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
         Lineage.committedBatchesAt(spark, lineageDir))
     published
+  }
+
+  /** Contract-violation census: null-ts rows are structurally
+    * unprocessable (Discover design guards) but must not vanish without
+    * a trace when the seal hides their partition — quarantine them RAW
+    * to `_violations/<cid>/batch=<id>`, the batch analog of the
+    * streaming path's stream/_violations. Re-audits do NOT re-count:
+    * keys already in a COMMITTED violations batch are anti-joined away,
+    * so a standing `reauditDays` config cannot grow the census
+    * unboundedly. The scan is ~free when the contract holds —
+    * IsNull(ts) pushes to parquet null-count stats.
+    */
+  private def quarantineViolations(spark: SparkSession, cfg: PipelineConfig,
+      lineageDir: String, batchId: String,
+      raw: org.apache.spark.sql.DataFrame): Unit = {
+    val keys = Seq("conv_id", "turn_idx", "day")
+    val violAll = raw.filter(col("ts").isNull)
+    val vDir = Sinks.violationsDir(cfg.sinkRoot, Lineage.checkpointId(cfg))
+    val priorDirs = Sinks.partitionCommitted(
+      Sinks.batchDirs(spark, vDir),
+      Lineage.committedBatchesAt(spark, lineageDir))._1
+    val fresh =
+      if (priorDirs.isEmpty) violAll
+      else violAll.join(
+        spark.read.parquet(priorDirs: _*).select(keys.map(col): _*),
+        keys, "left_anti")
+    val cached = fresh.cache()
+    val n = cached.count()
+    if (n > 0) {
+      System.err.println(s"[audit] $n null-ts contract-violation rows " +
+        s"quarantined to $vDir/batch=$batchId")
+      cached.write.mode("overwrite").parquet(s"$vDir/batch=$batchId")
+    }
+    cached.unpersist()
   }
 
   /** Raise commit watermarks to cover rows the stranded manifest just

@@ -146,6 +146,16 @@ object Sinks {
   def redrivenDir(root: String, checkpointId: String): String =
     s"$root/_redriven/$checkpointId"
 
+  /** Contract-violation census (null event times found by the seal
+    * audit) — operator-facing, never consulted by the engine itself.
+    * Per-batch dirs like every namespace; a reader wanting
+    * exactly-once rows should filter to committed batch ids (readSink
+    * discipline) — an orphan dir from a crashed cycle is overwritten
+    * by the idempotent re-run but is not otherwise cleaned.
+    */
+  def violationsDir(root: String, checkpointId: String): String =
+    s"$root/_violations/$checkpointId"
+
   /** Per-batch manifest of skipped-cold rows (S6): the reference loses
     * an unrestored object forever once sincedb passes its mtime
     * (s3.rb:152-156); we advance the watermark identically but keep the

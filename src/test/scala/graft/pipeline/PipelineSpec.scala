@@ -1400,6 +1400,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol.select($"conv_id").collect().map(_.getString(0)).toSeq ==
       Seq("nullts"),
       "a producer contract violation must be durably operator-visible")
+
+    // a forced re-audit must NOT re-count the same violation — the
+    // census anti-joins committed violation batches, so a standing
+    // reauditDays config cannot grow it unboundedly
+    Main.runCycle(spark, cfg.copy(reauditDays = Seq("2026-02-01")),
+      at("2026-02-02T05:00:00Z"))
+    val violDirs = Sinks.batchDirs(spark,
+      Sinks.violationsDir(cfg.sinkRoot, cid))
+    assert(violDirs.size == 1,
+      s"re-audit must not duplicate the census, got $violDirs")
   }
 
   test("seal-time audit: a warm backfill that landed BEHIND the watermark " +
