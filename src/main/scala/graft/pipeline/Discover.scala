@@ -323,7 +323,7 @@ object Discover {
   /** The read schema for the input table under this config: the Turn
     * columns, any configured S6 storage columns, and the `day`
     * partition column — the ONE definition shared by the delta scan and
-    * the seal-audit scan ([[dayRows]]), so manifest schemas never
+    * the seal-audit scan ([[readFiles]]), so manifest schemas never
     * diverge within a checkpoint identity.
     */
   def readSchema(cfg: PipelineConfig): org.apache.spark.sql.types.StructType = {
@@ -393,25 +393,19 @@ object Discover {
       } else Some(inTarget)
     })(identity)
 
-  /** Pinned scan of EXACTLY the given day partitions (full
-    * [[readSchema]]), with only the design guards applied — no
-    * watermark, cutoff or eligibility filters: the seal audit owns its
-    * own scope. The listing is pinned at call time like the delta's,
-    * and finds day dirs at any depth ([[listDayFiles]]).
+  /** Read an EXPLICIT pinned file list with the config's
+    * [[readSchema]] (`day` from the dir layout) and no filters. The
+    * seal audit lists its day partitions once ([[listDayFiles]]) and
+    * reads the SAME list twice — the violation census unguarded, the
+    * stranded scan through [[designGuards]] — so both provably see one
+    * file set while each read keeps its own filters parquet-pushable
+    * (an uncached scan, not a shared cache: the census's IsNull(ts)
+    * prunes via row-group null-count stats and reads ~nothing when the
+    * contract holds).
     */
-  def dayRows(spark: SparkSession, cfg: PipelineConfig,
-      days: Set[String]): DataFrame =
-    designGuards(cfg)(dayRowsRaw(spark, cfg, days))
-
-  /** As [[dayRows]] but UNGUARDED — the audit's contract-violation
-    * census reads this to quarantine rows the guards exclude (null ts)
-    * before a seal hides their partition (see the [[designGuards]]
-    * trace-semantics note).
-    */
-  def dayRowsRaw(spark: SparkSession, cfg: PipelineConfig,
-      days: Set[String]): DataFrame = {
+  def readFiles(spark: SparkSession, cfg: PipelineConfig,
+      files: Seq[String]): DataFrame = {
     val schema = readSchema(cfg)
-    val files = listDayFiles(spark, cfg.inputPath, days)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -104,18 +104,22 @@ object Lineage {
   def observationsAt(spark: SparkSession, dir: String): Map[String, Long] =
     stateAt(spark, dir)._2
 
-  /** Watermarks AND observation stamps from ONE lineage read — the
-    * per-cycle lookup (the reference's 3.8.2 "read sincedb once per
-    * cycle" discipline, CHANGELOG.md:8, applies to both aggregates).
+  /** Watermarks, observation stamps AND the committed-batch set from
+    * ONE lineage read — the per-cycle lookup (the reference's 3.8.2
+    * "read sincedb once per cycle" discipline, CHANGELOG.md:8, applies
+    * to all three; the seal audit's census/manifest/published checks
+    * all consume the same cycle-start set).
     */
-  def stateAt(spark: SparkSession,
-      dir: String): (Map[String, Timestamp], Map[String, Long]) = {
-    val rows = readAt(spark, dir)
-      .groupBy(col("day"))
-      .agg(max(col("last_ts")).as("wm"), max(col("committed_at")).as("obs"))
+  def stateAt(spark: SparkSession, dir: String):
+      (Map[String, Timestamp], Map[String, Long], Set[String]) = {
+    val all = readAt(spark, dir)
+      .select(col("day"), col("last_ts"), col("committed_at"),
+        col("batch_id"))
       .collect()
-    (rows.map(r => r.getString(0) -> r.getTimestamp(1)).toMap,
-      rows.map(r => r.getString(0) -> r.getTimestamp(2).getTime).toMap)
+    val byDay = all.groupBy(_.getString(0))
+    (byDay.view.mapValues(_.map(_.getTimestamp(1)).maxBy(_.getTime)).toMap,
+      byDay.view.mapValues(_.map(_.getTimestamp(2).getTime).max).toMap,
+      all.map(_.getString(3)).toSet)
   }
 
   /** Set of committed batch ids — published sink batches not in this set

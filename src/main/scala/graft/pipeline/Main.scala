@@ -32,9 +32,11 @@ object Main {
     // semantics), from the config's resolved lineage location (identity-
     // keyed when lineagePath is set — the sincedb_path analog)
     val lineageDir = Lineage.dirFor(cfg)
-    // ONE lineage read serves both per-cycle aggregates (watermarks +
-    // observation stamps — the 3.8.2 read-once discipline)
-    val (wms, obsMs) = Lineage.stateAt(spark, lineageDir)
+    // ONE lineage read serves every per-cycle lookup (watermarks,
+    // observation stamps, committed-batch set — the 3.8.2 read-once
+    // discipline); the audit's census/manifest/published checks all
+    // consume this same cycle-start committed set
+    val (wms, obsMs, committedAtStart) = Lineage.stateAt(spark, lineageDir)
     val batchId = Lineage.batchId(asOf, wms, Lineage.checkpointId(cfg))
     // the cycle's observation stamp, taken BEFORE any listing: every
     // file this cycle's listings/audits cover has mtime >= nothing the
@@ -162,22 +164,27 @@ object Main {
           Some(deferredCold.join(broadcast(effDf), Seq("day"))
             .filter(col("ts") <= col("_effwm")).drop("_effwm"))
         } else None
-      // ONE pinned listing/scan of the audited days serves both the
-      // violation census and the stranded audit — two separately-pinned
-      // walks could disagree on the file set within one cycle
-      val rawAudit =
-        if (auditDays.nonEmpty)
-          Some(Discover.dayRowsRaw(spark, cfg, auditDays).cache())
-        else None
-      rawAudit.foreach(raw =>
-        quarantineViolations(spark, cfg, lineageDir, batchId, raw))
-      val audit = rawAudit.map(raw => auditStranded(spark, cfg, lineageDir,
-        batchId, auditDays, Discover.designGuards(cfg)(raw)))
+      val audit =
+        if (auditDays.isEmpty) None
+        else {
+          // ONE pinned FILE LIST serves both the violation census and
+          // the stranded audit — two separately-pinned walks could
+          // disagree on the file set within a cycle. Two UNCACHED
+          // reads of that list, though: sharing a cached frame would
+          // materialize the full unfiltered partitions; separate scans
+          // keep each side's filters parquet-pushable.
+          val files = Discover.listDayFiles(spark, cfg.inputPath, auditDays)
+          quarantineViolations(spark, cfg, batchId, auditDays,
+            committedAtStart, Discover.readFiles(spark, cfg, files))
+          Some(auditStranded(spark, cfg, batchId, auditDays,
+            committedAtStart,
+            Discover.designGuards(cfg)(Discover.readFiles(spark, cfg, files))))
+        }
       val stranded = (cold, audit) match {
         case (Some(c), Some(a)) => Some(c.unionByName(a).distinct())
         case (c, a) => c.orElse(a)
       }
-      val absorb = stranded match {
+      stranded match {
         case None => Map.empty[String, Timestamp]
         case Some(df) =>
           val cached = df.cache()
@@ -193,8 +200,6 @@ object Main {
           cached.unpersist()
           m
       }
-      rawAudit.foreach(_.unpersist())
-      absorb
     }
 
     if (total == 0L) {
@@ -258,15 +263,15 @@ object Main {
     * forced re-audit.
     */
   private def auditStranded(spark: SparkSession, cfg: PipelineConfig,
-      lineageDir: String, batchId: String, auditDays: Set[String],
+      batchId: String, auditDays: Set[String], committed: Set[String],
       rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keys = Seq("conv_id", "turn_idx", "day")
-    val published = Sinks.publishedKeys(spark, cfg.sinkRoot, lineageDir,
-      auditDays, batchId)
+    val published = Sinks.publishedKeys(spark, cfg.sinkRoot, auditDays,
+      committed + batchId)
     val manifestDirs = Sinks.partitionCommitted(
       Sinks.batchDirs(spark,
         Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))),
-      Lineage.committedBatchesAt(spark, lineageDir))._1
+      committed)._1
     val unpub = rows.join(published, keys, "left_anti")
     if (manifestDirs.isEmpty) unpub
     else unpub.join(
@@ -321,19 +326,28 @@ object Main {
     * IsNull(ts) pushes to parquet null-count stats.
     */
   private def quarantineViolations(spark: SparkSession, cfg: PipelineConfig,
-      lineageDir: String, batchId: String,
+      batchId: String, auditDays: Set[String], committed: Set[String],
       raw: org.apache.spark.sql.DataFrame): Unit = {
     val keys = Seq("conv_id", "turn_idx", "day")
     val violAll = raw.filter(col("ts").isNull)
     val vDir = Sinks.violationsDir(cfg.sinkRoot, Lineage.checkpointId(cfg))
     val priorDirs = Sinks.partitionCommitted(
-      Sinks.batchDirs(spark, vDir),
-      Lineage.committedBatchesAt(spark, lineageDir))._1
+      Sinks.batchDirs(spark, vDir), committed)._1
     val fresh =
       if (priorDirs.isEmpty) violAll
-      else violAll.join(
-        spark.read.parquet(priorDirs: _*).select(keys.map(col): _*),
-        keys, "left_anti")
+      else {
+        // day-filtered (the right side stays bounded by the audited
+        // days, not the census's lifetime) and NULL-SAFE: a producer
+        // that smuggles a null ts can just as easily smuggle a null
+        // conv_id/turn_idx on the same row, and an equi-join (null
+        // never equals null) would re-count that row on every re-audit
+        val prior = spark.read.parquet(priorDirs: _*)
+          .filter(col("day").isin(auditDays.toSeq: _*))
+          .select(keys.map(col): _*)
+        violAll.join(prior,
+          keys.map(k => violAll(k) <=> prior(k)).reduce(_ && _),
+          "left_anti")
+      }
     val cached = fresh.cache()
     val n = cached.count()
     if (n > 0) {

@@ -257,12 +257,13 @@ object Sinks {
   }
 
   /** (conv_id, turn_idx, day) keys published across ALL sinks for the
-    * given days — the seal audit's "already delivered" side. Reads only
-    * committed batch dirs (plus `includeBatch`, the in-flight batch
-    * whose staged publish has happened but whose commit has not: its
-    * delta rows ARE delivered, and the audit runs pre-commit). The day
-    * filter is a pushed data-column predicate, so row-group stats skip
-    * batches that contain none of the audited days.
+    * given days — the seal audit's "already delivered" side.
+    * `committed` is the recognized batch-id set (the caller's ONE
+    * cycle-start lineage read, plus the in-flight batch whose staged
+    * publish has happened but whose commit has not: its delta rows ARE
+    * delivered, and the audit runs pre-commit). The day filter is a
+    * pushed data-column predicate, so row-group stats skip batches
+    * that contain none of the audited days.
     *
     * Cost note (100 TB): this reads each audited day's published rows
     * once — paid once per day LIFETIME (at seal), plus once per reopen.
@@ -271,14 +272,12 @@ object Sinks {
     * because batches are day-skewed anyway (a batch holds recent days),
     * so the row-group skip already prunes most files.
     */
-  def publishedKeys(spark: SparkSession, root: String, lineageDir: String,
-      days: Set[String], includeBatch: String): DataFrame = {
+  def publishedKeys(spark: SparkSession, root: String,
+      days: Set[String], committed: Set[String]): DataFrame = {
     import org.apache.spark.sql.types.{StringType, IntegerType, StructType, StructField}
     val keySchema = StructType(Seq(
       StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
       StructField("day", StringType)))
-    val committed =
-      Lineage.committedBatchesAt(spark, lineageDir) + includeBatch
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sinkDirs =
