@@ -418,7 +418,6 @@ object Discover {
       asOf: Timestamp, wms: Map[String, Timestamp],
       sealedAtMs: Map[String, Long]): (DataFrame, Set[String]) = {
     import spark.implicits._
-    val schema = readSchema(cfg)
     // completed days prune unconditionally UNLESS an observation stamp
     // is supplied (sealing configured), in which case a post-seal
     // landing reopens the day for auditing
@@ -426,13 +425,7 @@ object Discover {
       .map(d => d -> sealedAtMs.getOrElse(d, Long.MaxValue)).toMap
     val (files, reopened) =
       listInputFilesDetecting(spark, cfg.inputPath, skipMap)
-    val input =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .option("basePath", cfg.inputPath) // keep day from the dir layout
-        .parquet(files: _*)
+    val input = readFiles(spark, cfg, files)
 
     val watermarked =
       if (wms.isEmpty) input

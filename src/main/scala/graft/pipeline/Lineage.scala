@@ -112,14 +112,24 @@ object Lineage {
     */
   def stateAt(spark: SparkSession, dir: String):
       (Map[String, Timestamp], Map[String, Long], Set[String]) = {
-    val all = readAt(spark, dir)
-      .select(col("day"), col("last_ts"), col("committed_at"),
-        col("batch_id"))
+    // aggregation stays SPARK-SIDE: the driver receives one row per
+    // day (plus the batch-id set), never the full commit history —
+    // compaction bounds the file count, not the row count, so a
+    // driver-side fold would grow O(total commits) over the
+    // checkpoint's lifetime. Spark's max also keeps full microsecond
+    // timestamp precision and skips NULLs (a corrupt/hand-written
+    // commit row must not wedge every future cycle).
+    val rows = readAt(spark, dir)
+      .groupBy(col("day"))
+      .agg(max(col("last_ts")).as("wm"), max(col("committed_at")).as("obs"),
+        collect_set(col("batch_id")).as("bs"))
       .collect()
-    val byDay = all.groupBy(_.getString(0))
-    (byDay.view.mapValues(_.map(_.getTimestamp(1)).maxBy(_.getTime)).toMap,
-      byDay.view.mapValues(_.map(_.getTimestamp(2).getTime).max).toMap,
-      all.map(_.getString(3)).toSet)
+    (rows.flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
+      .toMap,
+      rows.flatMap(r =>
+        Option(r.getTimestamp(2)).map(t => r.getString(0) -> t.getTime))
+        .toMap,
+      rows.flatMap(_.getSeq[String](3)).toSet)
   }
 
   /** Set of committed batch ids — published sink batches not in this set

@@ -253,10 +253,11 @@ object Main {
     * commit, keeping "manifested => behind the committed watermark"
     * unconditional.
     *
-    * Plan shape: `rows` is the cycle's ONE pinned partition-scoped day
-    * scan (Discover.dayRowsRaw through the design guards — shared with
-    * the violation census so the two cannot see different file sets);
-    * the published-keys side is day-filtered with pushed predicates;
+    * Plan shape: `rows` is a pushdown-friendly read of the cycle's ONE
+    * pinned audit file list (Discover.listDayFiles -> readFiles
+    * through the design guards; the violation census reads the same
+    * list, so the two cannot see different file sets); the
+    * published-keys side is day-filtered with pushed predicates;
     * the anti-joins run on (conv_id, turn_idx, day) with strategy left
     * to the planner — both sides are day-partition-sized, paid once
     * per day lifetime (at seal) plus once per post-seal landing or
@@ -328,7 +329,6 @@ object Main {
   private def quarantineViolations(spark: SparkSession, cfg: PipelineConfig,
       batchId: String, auditDays: Set[String], committed: Set[String],
       raw: org.apache.spark.sql.DataFrame): Unit = {
-    val keys = Seq("conv_id", "turn_idx", "day")
     val violAll = raw.filter(col("ts").isNull)
     val vDir = Sinks.violationsDir(cfg.sinkRoot, Lineage.checkpointId(cfg))
     val priorDirs = Sinks.partitionCommitted(
@@ -337,15 +337,18 @@ object Main {
       if (priorDirs.isEmpty) violAll
       else {
         // day-filtered (the right side stays bounded by the audited
-        // days, not the census's lifetime) and NULL-SAFE: a producer
-        // that smuggles a null ts can just as easily smuggle a null
-        // conv_id/turn_idx on the same row, and an equi-join (null
-        // never equals null) would re-count that row on every re-audit
+        // days, not the census's lifetime) and deduped on the FULL ROW,
+        // null-safely: a producer that smuggles a null ts can smuggle
+        // null key columns too — an equi-join on keys would re-count
+        // such a row every re-audit (null never equals null), while a
+        // null-safe join on keys ALONE would collapse two DIFFERENT
+        // null-keyed rows and silently drop the newer one. Whole-row
+        // identity re-counts nothing and loses nothing.
         val prior = spark.read.parquet(priorDirs: _*)
           .filter(col("day").isin(auditDays.toSeq: _*))
-          .select(keys.map(col): _*)
         violAll.join(prior,
-          keys.map(k => violAll(k) <=> prior(k)).reduce(_ && _),
+          violAll.columns.toSeq
+            .map(c => violAll(c) <=> prior(c)).reduce(_ && _),
           "left_anti")
       }
     val cached = fresh.cache()
