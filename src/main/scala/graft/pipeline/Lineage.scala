@@ -77,11 +77,7 @@ object Lineage {
     watermarksAt(spark, path(sinkRoot))
 
   def watermarksAt(spark: SparkSession, dir: String): Map[String, Timestamp] =
-    readAt(spark, dir)
-      .groupBy(col("day")).agg(max(col("last_ts")).as("wm"))
-      .collect()
-      .map(r => r.getString(0) -> r.getTimestamp(1))
-      .toMap
+    stateAt(spark, dir)._1 // one definition incl. the corrupt-row check
 
   /** Per-day observation stamps: the max `committed_at` over each day's
     * commit rows, in epoch millis. `committed_at` is stamped at CYCLE
@@ -117,18 +113,28 @@ object Lineage {
     // compaction bounds the file count, not the row count, so a
     // driver-side fold would grow O(total commits) over the
     // checkpoint's lifetime. Spark's max also keeps full microsecond
-    // timestamp precision and skips NULLs (a corrupt/hand-written
-    // commit row must not wedge every future cycle).
+    // timestamp precision and ignores stray NULLs when non-null
+    // values exist for the day.
     val rows = readAt(spark, dir)
       .groupBy(col("day"))
       .agg(max(col("last_ts")).as("wm"), max(col("committed_at")).as("obs"),
         collect_set(col("batch_id")).as("bs"))
       .collect()
-    (rows.flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
-      .toMap,
-      rows.flatMap(r =>
-        Option(r.getTimestamp(2)).map(t => r.getString(0) -> t.getTime))
-        .toMap,
+    // a day whose EVERY commit row lost its watermark or stamp is
+    // corrupt state (the engine never writes null into either column —
+    // even redrive stamps epoch). Fail LOUDLY rather than pick a lossy
+    // default: silently skipping the day would re-publish its rows
+    // (missing watermark) or never reopen it (missing stamp ->
+    // Long.MaxValue in the skip map), both unrecoverable quietly.
+    rows.find(r =>
+      r.getTimestamp(1) == null || r.getTimestamp(2) == null).foreach { r =>
+      throw new IllegalStateException(
+        s"corrupt lineage at $dir: day=${r.getString(0)} has only NULL " +
+          "last_ts/committed_at commit rows; repair or remove the " +
+          "offending commit files before running")
+    }
+    (rows.map(r => r.getString(0) -> r.getTimestamp(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getTimestamp(2).getTime).toMap,
       rows.flatMap(_.getSeq[String](3)).toSet)
   }
 

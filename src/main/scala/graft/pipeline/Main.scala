@@ -346,9 +346,13 @@ object Main {
         // identity re-counts nothing and loses nothing.
         val prior = spark.read.parquet(priorDirs: _*)
           .filter(col("day").isin(auditDays.toSeq: _*))
+        // identity = the columns BOTH sides have: a schema-evolved
+        // build must not AnalysisException against censuses written by
+        // an older one (over-dedup on the common columns during a
+        // migration is the safe direction)
+        val cmp = violAll.columns.toSeq.intersect(prior.columns.toSeq)
         violAll.join(prior,
-          violAll.columns.toSeq
-            .map(c => violAll(c) <=> prior(c)).reduce(_ && _),
+          cmp.map(c => violAll(c) <=> prior(c)).reduce(_ && _),
           "left_anti")
       }
     val cached = fresh.cache()
