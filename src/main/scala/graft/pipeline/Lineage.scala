@@ -120,21 +120,26 @@ object Lineage {
       .agg(max(col("last_ts")).as("wm"), max(col("committed_at")).as("obs"),
         collect_set(col("batch_id")).as("bs"))
       .collect()
-    // a day whose EVERY commit row lost its watermark or stamp is
-    // corrupt state (the engine never writes null into either column —
-    // even redrive stamps epoch). Fail LOUDLY rather than pick a lossy
-    // default: silently skipping the day would re-publish its rows
-    // (missing watermark) or never reopen it (missing stamp ->
-    // Long.MaxValue in the skip map), both unrecoverable quietly.
-    rows.find(r =>
-      r.getTimestamp(1) == null || r.getTimestamp(2) == null).foreach { r =>
+    // a day whose EVERY commit row lost its WATERMARK is corrupt state
+    // the engine never writes, and the watermark is consumed on every
+    // path — fail LOUDLY (all offending days in one message; a silent
+    // skip would re-publish the day's rows). A day with only-null
+    // committed_at merely drops out of the OBSERVATION map: the stamp
+    // is consumed only by sealing-enabled cycles, and Main fails
+    // closed there (a completed day without a stamp aborts the cycle)
+    // while a sealing-disabled pipeline keeps running — the column has
+    // no effect on it.
+    val corrupt = rows.filter(_.getTimestamp(1) == null)
+    if (corrupt.nonEmpty)
       throw new IllegalStateException(
-        s"corrupt lineage at $dir: day=${r.getString(0)} has only NULL " +
-          "last_ts/committed_at commit rows; repair or remove the " +
+        s"corrupt lineage at $dir: day(s) " +
+          corrupt.map(_.getString(0)).sorted.mkString(", ") +
+          " have only NULL last_ts commit rows; repair or remove the " +
           "offending commit files before running")
-    }
     (rows.map(r => r.getString(0) -> r.getTimestamp(1)).toMap,
-      rows.map(r => r.getString(0) -> r.getTimestamp(2).getTime).toMap,
+      rows.flatMap(r =>
+        Option(r.getTimestamp(2)).map(t => r.getString(0) -> t.getTime))
+        .toMap,
       rows.flatMap(_.getSeq[String](3)).toSet)
   }
 

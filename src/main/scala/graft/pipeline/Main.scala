@@ -56,7 +56,26 @@ object Main {
     // stamps); non-sealed entries are ignored, normal discovery covers
     // them.
     val sealedAtMs: Map[String, Long] =
-      if (cfg.sealDaysGraceSeconds < 0) Map.empty else obsMs
+      if (cfg.sealDaysGraceSeconds < 0) Map.empty
+      else {
+        // fail CLOSED: a completed day with no observation stamp (its
+        // committed_at rows corrupted to null) would default to
+        // "never reopen" in the skip map — post-seal landings would be
+        // silently lost. Abort with the repair scope, UNLESS the
+        // operator already routed the day through --reaudit-days: the
+        // forced audit re-stamps it with a fresh refresh commit, so
+        // that flag doubles as the self-healing path here.
+        val missing = Discover.completedDays(wms)
+          .filterNot(obsMs.contains) -- cfg.reauditDays
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"corrupt lineage at $lineageDir: sealed day(s) " +
+              missing.toSeq.sorted.mkString(", ") +
+              " have no committed_at observation stamp; repair the " +
+              "commit rows or run one cycle with --reaudit-days " +
+              "covering them")
+        obsMs
+      }
     val disc = Discover.discover(spark, cfg, asOf, wms, sealedAtMs)
     val (delta, deferredCold) = (disc.delta, disc.deferredCold)
     val reopened = disc.reopenedSealedDays ++
@@ -344,15 +363,22 @@ object Main {
         // null-safe join on keys ALONE would collapse two DIFFERENT
         // null-keyed rows and silently drop the newer one. Whole-row
         // identity re-counts nothing and loses nothing.
-        val prior = spark.read.parquet(priorDirs: _*)
+        // the dedup identity is FROZEN at the v1 row contract (Turn
+        // columns + day) and prior batches are read with exactly that
+        // schema: these columns exist in every census batch ever
+        // written, so old and new builds always dedup identically.
+        // Deliberately NOT the full current row — a later schema
+        // addition would read as null from older batches and re-count
+        // every historical violation once per new column; and NOT a
+        // dynamic column intersection — a mixed-schema census dir
+        // makes that nondeterministic.
+        val idSchema = Schema.turnSchema
+          .add("day", org.apache.spark.sql.types.StringType)
+        val prior = spark.read.schema(idSchema).parquet(priorDirs: _*)
           .filter(col("day").isin(auditDays.toSeq: _*))
-        // identity = the columns BOTH sides have: a schema-evolved
-        // build must not AnalysisException against censuses written by
-        // an older one (over-dedup on the common columns during a
-        // migration is the safe direction)
-        val cmp = violAll.columns.toSeq.intersect(prior.columns.toSeq)
         violAll.join(prior,
-          cmp.map(c => violAll(c) <=> prior(c)).reduce(_ && _),
+          idSchema.fieldNames.toSeq
+            .map(c => violAll(c) <=> prior(c)).reduce(_ && _),
           "left_anti")
       }
     val cached = fresh.cache()
@@ -406,8 +432,8 @@ object Main {
     import spark.implicits._
     val lineageDir = Lineage.dirFor(cfg)
     val cid = Lineage.checkpointId(cfg)
-    val wms = Lineage.watermarksAt(spark, lineageDir)
-    val committed = Lineage.committedBatchesAt(spark, lineageDir)
+    // ONE lineage read, like the cycle path
+    val (wms, _, committed) = Lineage.stateAt(spark, lineageDir)
 
     // manifests AND ledger entries only count if their batch COMMITTED
     // (or are compaction survivors): an orphan manifest from a cycle
