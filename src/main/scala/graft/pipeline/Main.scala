@@ -55,6 +55,7 @@ object Main {
     // (reauditDays — nested-subdir appends, object stores, pre-upgrade
     // stamps); non-sealed entries are ignored, normal discovery covers
     // them.
+    val completed = Discover.completedDays(wms)
     val sealedAtMs: Map[String, Long] =
       if (cfg.sealDaysGraceSeconds < 0) Map.empty
       else {
@@ -65,8 +66,7 @@ object Main {
         // operator already routed the day through --reaudit-days: the
         // forced audit re-stamps it with a fresh refresh commit, so
         // that flag doubles as the self-healing path here.
-        val missing = Discover.completedDays(wms)
-          .filterNot(obsMs.contains) -- cfg.reauditDays
+        val missing = completed.filterNot(obsMs.contains) -- cfg.reauditDays
         if (missing.nonEmpty)
           throw new IllegalStateException(
             s"corrupt lineage at $lineageDir: sealed day(s) " +
@@ -79,7 +79,7 @@ object Main {
     val disc = Discover.discover(spark, cfg, asOf, wms, sealedAtMs)
     val (delta, deferredCold) = (disc.delta, disc.deferredCold)
     val reopened = disc.reopenedSealedDays ++
-      cfg.reauditDays.toSet.intersect(Discover.completedDays(wms))
+      cfg.reauditDays.toSet.intersect(completed)
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
     // so consumers that drop columns shuffle less — see Pipeline)
@@ -363,21 +363,21 @@ object Main {
         // null-safe join on keys ALONE would collapse two DIFFERENT
         // null-keyed rows and silently drop the newer one. Whole-row
         // identity re-counts nothing and loses nothing.
-        // the dedup identity is FROZEN at the v1 row contract (Turn
-        // columns + day) and prior batches are read with exactly that
-        // schema: these columns exist in every census batch ever
+        // the dedup identity is FROZEN as a literal column list (the
+        // v1 row contract) and prior batches are read with exactly
+        // that schema: these columns exist in every census batch ever
         // written, so old and new builds always dedup identically.
-        // Deliberately NOT the full current row — a later schema
-        // addition would read as null from older batches and re-count
-        // every historical violation once per new column; and NOT a
-        // dynamic column intersection — a mixed-schema census dir
-        // makes that nondeterministic.
-        val idSchema = Schema.turnSchema
-          .add("day", org.apache.spark.sql.types.StringType)
-        val prior = spark.read.schema(idSchema).parquet(priorDirs: _*)
+        // Deliberately NOT the full current row or the live
+        // turnSchema — a later schema addition would read as null
+        // from older batches and re-count every historical violation
+        // once per new column; and NOT a dynamic column intersection
+        // — a mixed-schema census dir makes that nondeterministic.
+        // NEVER extend this list.
+        val prior = spark.read.schema(censusIdentitySchema)
+          .parquet(priorDirs: _*)
           .filter(col("day").isin(auditDays.toSeq: _*))
         violAll.join(prior,
-          idSchema.fieldNames.toSeq
+          censusIdentitySchema.fieldNames.toSeq
             .map(c => violAll(c) <=> prior(c)).reduce(_ && _),
           "left_anti")
       }
@@ -389,6 +389,19 @@ object Main {
       cached.write.mode("overwrite").parquet(s"$vDir/batch=$batchId")
     }
     cached.unpersist()
+  }
+
+  /** The violation census's dedup identity — a LITERAL pinned list, by
+    * design independent of the evolving read schema (see the comment
+    * at the join site). Never extend it.
+    */
+  private val censusIdentitySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType),
+      StructField("day", StringType)))
   }
 
   /** Raise commit watermarks to cover rows the stranded manifest just

@@ -1412,6 +1412,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"re-audit must not duplicate the census, got $violDirs")
   }
 
+  test("corrupt lineage policy: null last_ts aborts loudly (all days " +
+      "listed); null committed_at fails sealing cycles closed, is inert " +
+      "without sealing, and --reaudit-days self-heals it") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    val in = s"$scratch/cl_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    Seq(("w1", 0, "user", "2025-03-01T10:00:00Z INFO [user] x",
+      null: String, at("2025-03-01T10:00:00Z"), "2025-03-01"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/cl_sinks",
+      sealDaysGraceSeconds = 0)
+    assert(Main.runCycle(spark, cfg, at("2025-03-03T00:00:00Z"))
+      .rowsProcessed == 1L)
+    val lineageDir = Lineage.dirFor(cfg)
+    val lcols = Seq("batch_id", "day", "last_ts", "rows", "committed_at")
+
+    // a hand-written/corrupt commit: a COMPLETED day whose only row has
+    // a null observation stamp
+    Seq(("corrupt1", "2025-03-02",
+      Discover.endOfDayTs("2025-03-02").get, 0L, null: Timestamp))
+      .toDF(lcols: _*).write.mode("append").parquet(lineageDir)
+    // sealing-enabled: fail closed (the day could never reopen)
+    val ex1 = intercept[IllegalStateException] {
+      Main.runCycle(spark, cfg, at("2025-03-03T01:00:00Z"))
+    }
+    assert(ex1.getMessage.contains("2025-03-02"))
+    // sealing-disabled: the stamp is not consumed — cycle proceeds
+    assert(Main.runCycle(spark, cfg.copy(sealDaysGraceSeconds = -1),
+      at("2025-03-03T01:00:00Z")).rowsProcessed == 0L)
+    // --reaudit-days self-heals: the forced audit re-stamps the day...
+    assert(Main.runCycle(spark, cfg.copy(reauditDays = Seq("2025-03-02")),
+      at("2025-03-03T02:00:00Z")).rowsProcessed == 0L)
+    // ...and a PLAIN sealing cycle runs again
+    assert(Main.runCycle(spark, cfg, at("2025-03-03T03:00:00Z"))
+      .rowsProcessed == 0L)
+
+    // null last_ts: the watermark is load-bearing on EVERY path —
+    // always fatal, with every offending day in one message
+    Seq(("corrupt2", "2025-03-04", null: Timestamp, 0L,
+          at("2025-03-03T00:00:00Z")),
+        ("corrupt3", "2025-03-05", null: Timestamp, 0L,
+          at("2025-03-03T00:00:00Z")))
+      .toDF(lcols: _*).write.mode("append").parquet(lineageDir)
+    val ex2 = intercept[IllegalStateException] {
+      Main.runCycle(spark, cfg.copy(sealDaysGraceSeconds = -1),
+        at("2025-03-03T04:00:00Z"))
+    }
+    assert(ex2.getMessage.contains("2025-03-04") &&
+      ex2.getMessage.contains("2025-03-05"),
+      s"all corrupt days in one message, got: ${ex2.getMessage}")
+  }
+
   test("seal-time audit: a warm backfill that landed BEHIND the watermark " +
       "before the day sealed is manifested by the sealing cycle") {
     def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
