@@ -225,31 +225,45 @@ object Dedup {
     * LSH/SimHash pair output (A~B and B~C collapse to one cluster even
     * when A!~C, and exactly one member survives).
     *
-    * Bounded-iteration min-label propagation, entirely shuffle-side (no
-    * driver union-find, no collect): label(x) starts as x; each
-    * iteration replaces it with min(label(x), min over neighbors'
-    * labels); fixpoint when no label changes. Labels only DECREASE, so
-    * an early stop at `maxIters` over-segments but never over-merges —
-    * and is reported loudly (no silent caps). Iterations needed ~ the
-    * component diameter: near-dup clusters are template families, which
-    * are star-shaped/shallow in practice; 20 covers any plausible
-    * corpus (a diameter-20 chain of pairwise near-dups is adversarial).
+    * Bounded-iteration min-label propagation WITH POINTER JUMPING,
+    * entirely shuffle-side (no driver union-find, no collect): label(x)
+    * starts as x; each iteration first takes the neighbor min
+    * (min(label(x), min over neighbors' labels)), then SHORTCUTS
+    * label(x) <- label(label(x)) — the pointer-doubling step that makes
+    * the reach grow geometrically, so convergence is O(log diameter)
+    * rounds, not O(diameter): a 50-long chain of pairwise near-dups
+    * (versioned/serial documents — a real shape, not just adversarial)
+    * converges in 6 iterations instead of ~50. Labels only DECREASE
+    * and every label value is a node id inside the same component
+    * (both invariants are what make the shortcut sound), so an early
+    * stop at `maxIters` over-segments but never over-merges — and is
+    * reported loudly (no silent caps).
     *
-    * Per-iteration cost: one equi-join edges->labels + one hash-agg +
-    * one change-count — every operator shuffles on the id key, nothing
-    * quadratic. Each iteration's labels are localCheckpoint'ed (eager),
-    * which TRUNCATES the logical plan: without it the plan tree doubles
-    * per iteration and the driver OOMs just PRINTING it around
-    * iteration 7 (measured). At cluster scale, `checkpoint` to reliable
+    * Per-iteration cost: one equi-join edges->labels + one hash-agg
+    * (the neighbor min) + one self-join of the label table (the
+    * shortcut) + one change-count — every operator shuffles on the id
+    * key, nothing quadratic. Each iteration's post-step labels are
+    * localCheckpoint'ed (eager), which TRUNCATES the logical plan:
+    * without it the plan tree doubles per iteration and the driver
+    * OOMs just PRINTING it around iteration 7 (measured); the shortcut
+    * self-join then reads that checkpointed leaf twice rather than
+    * re-deriving the step. At cluster scale, `checkpoint` to reliable
     * storage every few iterations is the executor-loss-safe variant of
     * the same truncation.
     *
     * Returns (id, cluster_id = min id in component, keep = survivor),
     * for ids that appear in at least one pair (singletons are not the
     * pair graph's business).
+    *
+    * CACHE LIFETIME: the returned frame is backed by the final
+    * iteration's localCheckpoint blocks, which live until the session
+    * ends. A caller that wants them freed deterministically uses
+    * [[resolveClustersIter]] and calls `release()` after its last
+    * action on the labels (the materializing surfaces —
+    * [[writeClusters]] — do exactly that).
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    resolveClustersIter(pairs, maxIters)._1
+    resolveClustersIter(pairs, maxIters).labels
 
   /** One min-label propagation step over (edges, labels): neighbor-min
     * via an EQUI-join + hash-agg, folded back with a left join. Emits
@@ -279,11 +293,21 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  /** As [[resolveClusters]], also returning (iterations run, converged)
-    * so callers (and tests) can observe the bound firing.
+  /** A finished cluster resolution: the labels frame, how many
+    * iterations ran, whether the fixpoint was reached, and `release` —
+    * frees the final iteration's localCheckpoint blocks backing
+    * `labels`. Call it only AFTER the last action on `labels` (the
+    * frame recomputes from a cached RDD that `release` destroys).
+    */
+  case class Resolution(labels: DataFrame, iterations: Int,
+      converged: Boolean, release: () => Unit)
+
+  /** As [[resolveClusters]], returning the full [[Resolution]] so
+    * callers (and tests) can observe the bound firing and free the
+    * final checkpoint's storage deterministically.
     */
   def resolveClustersIter(pairs: DataFrame,
-      maxIters: Int = 20): (DataFrame, Int, Boolean) = {
+      maxIters: Int = 20): Resolution = {
     require(maxIters >= 1, "need at least one propagation iteration")
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -299,23 +323,114 @@ object Dedup {
     var converged = false
     while (!converged && iters < maxIters) {
       // eager localCheckpoint: materializes AND truncates the plan, so
-      // the next iteration builds on a leaf, not on this one's tree
-      val joined = propagationStep(edges, labels).localCheckpoint(true)
-      val changed = joined.filter(col("_next") < col("label")).count()
-      labels = joined.select(col("id"), col("_next").as("label"))
+      // the shortcut self-join below reads a leaf twice instead of
+      // re-deriving the join+agg step, and the next iteration builds
+      // on a shallow plan, not on this one's tree
+      val stepped = propagationStep(edges, labels).localCheckpoint(true)
+      // pointer jump: label(x) <- label(label(x)). `_next` is always a
+      // node id in x's component with _next(x) <= x, so the lookup
+      // always matches (coalesce is belt-and-braces) and the jumped
+      // value stays a same-component id — reach doubles per round
+      val jumped = stepped.join(
+        stepped.select(col("id").as("_next"), col("_next").as("_jump")),
+        Seq("_next"), "left")
+        .select(col("id"), col("label"),
+          least(col("_next"), coalesce(col("_jump"), col("_next")))
+            .as("_next"))
+      // one change-count covering BOTH steps: `label` is the
+      // iteration-start value, `_next` the post-jump one
+      val changed = jumped.filter(col("_next") < col("label")).count()
+      labels = jumped.select(col("id"), col("_next").as("label"))
       prevCk.foreach(_.unpersist(blocking = false))
-      prevCk = checkpointRdd(joined)
+      prevCk = checkpointRdd(stepped)
       converged = changed == 0L
       iters += 1
     }
     if (!converged)
       System.err.println(s"[resolveClusters] NOT converged after $iters " +
-        s"iterations (component diameter exceeds maxIters=$maxIters); " +
+        s"iterations (component diameter exceeds 2^maxIters growth); " +
         "labels are an over-segmentation, never an over-merge")
     edges.unpersist()
-    (labels.select(col("id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("keep")), iters, converged)
+    val lastCk = prevCk
+    Resolution(
+      labels.select(col("id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep")),
+      iters, converged,
+      () => lastCk.foreach(_.unpersist(blocking = false)))
   }
+
+  /** ---- Pair-set materialization (compute pairs ONCE, consume many
+    * times) ----------------------------------------------------------
+    *
+    * A 100 TB curation run cannot afford to re-shingle the corpus for
+    * every pair consumer: cluster resolution, curated-corpus builds,
+    * contamination reports and audit queries all want the SAME
+    * candidate-pair set. These ops persist it per batch under
+    * `<root>/_pairs/<corpusId>/batch=<id>` with the engine's
+    * namespace discipline (per-batch overwrite = idempotent re-runs;
+    * readers gate on a committed-batch set, so an orphan dir from a
+    * crashed build is invisible — graft.pipeline.Sinks.partitionCommitted
+    * is THE shared definition, `compacted-` survivors included).
+    */
+  def pairsDir(root: String, corpusId: String): String =
+    s"$root/_pairs/$corpusId"
+
+  /** Persist a candidate-pair set for `batchId`. Only (id_a, id_b) is
+    * stored — 16 bytes a row at long ids, so the pair table is tiny
+    * next to the corpus that produced it.
+    */
+  def writePairs(pairs: DataFrame, root: String, corpusId: String,
+      batchId: String): String = {
+    val dest = s"${pairsDir(root, corpusId)}/batch=$batchId"
+    pairs.select(col("id_a"), col("id_b")).distinct()
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  /** Read the committed pair set back (distinct across batches — two
+    * batches may both have found a pair). None when no committed batch
+    * exists: the pair schema is the corpus's id type, so there is no
+    * honest empty frame to fabricate.
+    */
+  def readPairs(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, committed: Set[String]): Option[DataFrame] = {
+    val dirs = graft.pipeline.Sinks.partitionCommitted(
+      graft.pipeline.Sinks.batchDirs(spark, pairsDir(root, corpusId)),
+      committed)._1
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).distinct())
+  }
+
+  /** Resolve clusters from a pair set and PERSIST the labels under
+    * `<root>/_clusters/<corpusId>/batch=<id>` — the production shape:
+    * downstream consumers (curated-corpus builds, survivor joins) read
+    * the persisted label table instead of each re-running the
+    * propagation loop, and the final iteration's checkpoint storage is
+    * released eagerly once the write has materialized it (the
+    * deterministic-release path for [[Resolution]]).
+    */
+  def writeClusters(pairs: DataFrame, root: String, corpusId: String,
+      batchId: String): String = {
+    val res = resolveClustersIter(pairs)
+    val dest = s"$root/_clusters/$corpusId/batch=$batchId"
+    res.labels.write.mode("overwrite").parquet(dest)
+    res.release()
+    dest
+  }
+
+  /** Drop near-duplicate non-survivors given a (possibly persisted)
+    * pair set: resolve clusters, anti-join the non-survivors away.
+    * `labels` may instead be a pre-resolved label table (e.g. read
+    * back from [[writeClusters]] output) via [[dropNonSurvivors]].
+    */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dropNonSurvivors(df, idCol, resolveClusters(pairs))
+
+  /** Anti-join a resolved label table's non-survivors out of a corpus. */
+  def dropNonSurvivors(df: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame =
+    df.join(labels.filter(!col("keep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Verified n-gram Jaccard for a set of candidate pairs: emits
     * (id_a, id_b, inter, union_) as exact integers (ratios are for the

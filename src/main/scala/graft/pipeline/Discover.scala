@@ -117,7 +117,19 @@ object Discover {
       if (name.startsWith("day=")) {
         sealedBeforeMs.get(name.stripPrefix("day=")) match {
           case Some(stamp) =>
-            if (st.getModificationTime >= stamp)
+            // granularity guard: a store reporting SECOND-granularity
+            // mtimes truncates a landing inside the stamp's own second
+            // below the millisecond stamp — the reopen would be
+            // silently missed. Such an mtime always reads as x.000, so
+            // exactly then the stamp is floored to the same granularity
+            // before comparing (conservative: at worst one extra audit,
+            // never a skipped one). Sub-second mtimes compare exactly —
+            // a truthful ms-granular store never re-audits a day whose
+            // refresh stamp postdates the landing by mere milliseconds.
+            val mt = st.getModificationTime
+            val cmp = if (mt % 1000L == 0L) (stamp / 1000L) * 1000L
+              else stamp
+            if (mt >= cmp)
               reopened += name.stripPrefix("day=")
             None // sealed: pruned from the walk either way
           case None => Some(())
@@ -351,9 +363,19 @@ object Discover {
     * null-ts row is structurally unprocessable — the cutoff predicate
     * can never admit it, a watermark can never cover it, and a
     * manifest entry for it could never be released by redrive's
-    * behind-the-watermark guard. Excluding it HERE keeps the delta and
-    * the audit consistent by construction instead of by the cutoff's
-    * 3-valued-logic accident. Trace semantics, stated precisely: the
+    * behind-the-watermark guard. Null KEY columns (conv_id, turn_idx)
+    * are the same class of violation: every exactly-once join in the
+    * engine — the seal audit's published/manifested anti-joins,
+    * redrive's pending semi-join, the ledger exclusion — matches on
+    * (conv_id, turn_idx), and a null key matches NOTHING in an
+    * equi-join, so such a row would be re-manifested on every
+    * re-audit and never released by redrive (an unbounded-manifest
+    * edge under a standing reauditDays config). Excluding them HERE
+    * keeps the delta and the audit consistent by construction instead
+    * of by the cutoff's 3-valued-logic accident; the seal audit
+    * quarantines them to `_violations` alongside null-ts rows
+    * (Main.quarantineViolations — its whole-row census identity was
+    * built for exactly this producer-bug class). Trace semantics: the
     * exclusion never DESTROYS or HIDES the row — it stays in the
     * source, listable by any scan, for as long as its partition is
     * listed. The one moment it would become invisible is a day SEAL
@@ -363,9 +385,20 @@ object Discover {
     * operator-visible. A non-sealing deployment never hides the
     * partition, so the row remains observable in place.
     */
+  /** THE definition of a row-contract violation — null event time or a
+    * null identity key. One predicate shared by the design guards
+    * (exclusion from delta + audit) and the seal audit's quarantine
+    * (capture into `_violations`), so "excluded by design" and
+    * "quarantined at seal" can never cover different row sets.
+    * Each leaf is a plain IsNull — pushed to parquet null-count stats,
+    * ~free when the contract holds.
+    */
+  private[pipeline] val contractViolation: Column =
+    col("ts").isNull || col("conv_id").isNull || col("turn_idx").isNull
+
   private[pipeline] def designGuards(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
     val guarded = df
-      .filter(col("ts").isNotNull) // schema contract (see above)
+      .filter(!contractViolation) // schema contract (see above)
       .filter(length(col("text")) > 0) // S3 zero-length skip
     // S7c self-backup loop guard (s3.rb:365): rows re-ingested from the
     // archive namespace (conv_id carrying the archive prefix) are never

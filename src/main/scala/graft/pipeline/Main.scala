@@ -207,13 +207,20 @@ object Main {
         case None => Map.empty[String, Timestamp]
         case Some(df) =>
           val cached = df.cache()
-          Sinks.writeDeferred(cached, cfg.sinkRoot,
-            Lineage.checkpointId(cfg), batchId)
+          // aggregate FIRST: an audit that strands nothing must not
+          // write an empty manifest dir — under a standing reauditDays
+          // config that would grow the namespace by one dir per cycle
+          // for no information (the groupBy result doubles as the
+          // emptiness check, like the routed-delta one)
+          val dayMax = cached.groupBy(col("day"))
+            .agg(max(col("ts")).as("mx")).collect()
+          if (dayMax.nonEmpty)
+            Sinks.writeDeferred(cached, cfg.sinkRoot,
+              Lineage.checkpointId(cfg), batchId)
           // max ignores null ts; a day whose manifested rows are ALL
           // null-ts yields a null max and is skipped (belt-and-braces:
           // the design guards already exclude null-ts rows everywhere)
-          val m = cached.groupBy(col("day"))
-            .agg(max(col("ts")).as("mx")).collect()
+          val m = dayMax
             .flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
             .toMap
           cached.unpersist()
@@ -329,26 +336,39 @@ object Main {
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    if (cfg.deferralConfigured)
+    if (cfg.deferralConfigured) {
+      // lazily shared: each compactor evaluates the committed set only
+      // past its listing threshold, and at most ONE lineage read serves
+      // both when they do
+      lazy val committedNow = Lineage.committedBatchesAt(spark, lineageDir)
       Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
-        Lineage.committedBatchesAt(spark, lineageDir))
+        committedNow)
+      Sinks.compactViolations(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
+        committedNow)
+    }
     published
   }
 
-  /** Contract-violation census: null-ts rows are structurally
-    * unprocessable (Discover design guards) but must not vanish without
-    * a trace when the seal hides their partition — quarantine them RAW
-    * to `_violations/<cid>/batch=<id>`, the batch analog of the
-    * streaming path's stream/_violations. Re-audits do NOT re-count:
-    * keys already in a COMMITTED violations batch are anti-joined away,
-    * so a standing `reauditDays` config cannot grow the census
-    * unboundedly. The scan is ~free when the contract holds —
-    * IsNull(ts) pushes to parquet null-count stats.
+  /** Contract-violation census: rows violating the row contract — null
+    * ts OR a null identity key (Discover.contractViolation, the ONE
+    * shared definition with the design guards) — are structurally
+    * unprocessable but must not vanish without a trace when the seal
+    * hides their partition — quarantine them RAW to
+    * `_violations/<cid>/batch=<id>`, the batch analog of the
+    * streaming path's stream/_violations. (A null-KEY row is exactly
+    * as unprocessable as a null-ts one: no equi-join in the
+    * audit/redrive machinery can ever match it, so without this
+    * exclusion+capture it would be re-manifested on every re-audit
+    * and never released.) Re-audits do NOT re-count: rows already in
+    * a COMMITTED violations batch are anti-joined away (whole-row,
+    * null-safe), so a standing `reauditDays` config cannot grow the
+    * census unboundedly. The scan is ~free when the contract holds —
+    * each IsNull leaf pushes to parquet null-count stats.
     */
   private def quarantineViolations(spark: SparkSession, cfg: PipelineConfig,
       batchId: String, auditDays: Set[String], committed: Set[String],
       raw: org.apache.spark.sql.DataFrame): Unit = {
-    val violAll = raw.filter(col("ts").isNull)
+    val violAll = raw.filter(Discover.contractViolation)
     val vDir = Sinks.violationsDir(cfg.sinkRoot, Lineage.checkpointId(cfg))
     val priorDirs = Sinks.partitionCommitted(
       Sinks.batchDirs(spark, vDir), committed)._1
@@ -384,8 +404,8 @@ object Main {
     val cached = fresh.cache()
     val n = cached.count()
     if (n > 0) {
-      System.err.println(s"[audit] $n null-ts contract-violation rows " +
-        s"quarantined to $vDir/batch=$batchId")
+      System.err.println(s"[audit] $n contract-violation rows (null ts " +
+        s"or null identity key) quarantined to $vDir/batch=$batchId")
       cached.write.mode("overwrite").parquet(s"$vDir/batch=$batchId")
     }
     cached.unpersist()

@@ -242,6 +242,48 @@ object Sinks {
     true
   }
 
+  /** Retire violation-census history: when `_violations/<cid>` exceeds
+    * `maxDirs` per-batch dirs, fold every COMMITTED batch's rows into
+    * one compacted snapshot and delete the folded inputs plus orphan
+    * dirs — [[compactDeferred]]'s discipline applied to the census, so
+    * a standing `reauditDays` config with a misbehaving producer
+    * cannot grow the dir count (and the census's prior-batch read
+    * fan-in, Main.quarantineViolations) without bound.
+    *
+    * The fold reads with mergeSchema: census batches store RAW rows
+    * whose schema may evolve across engine versions, and the compacted
+    * snapshot must lose no column of any era (absent columns pad to
+    * null — whole-row distinct treats them null-safely). The frozen
+    * census identity columns exist in every batch ever written, so the
+    * census's fixed-schema dedup read works on the compacted dir
+    * unchanged. Crash-safety and orphan reasoning are compactDeferred's
+    * verbatim: compacted dir written first (coexistence only duplicates
+    * rows, which the census's whole-row anti-join absorbs), only
+    * pre-listed dirs deleted, orphans are crash debris whose rows were
+    * re-quarantined under the successor batch id (single writer per
+    * checkpoint identity; this runs post-commit, so nothing is
+    * in-flight).
+    */
+  def compactViolations(spark: SparkSession, root: String,
+      checkpointId: String, committedBatches: => Set[String],
+      maxDirs: Int = 64): Boolean = {
+    val all = batchDirs(spark, violationsDir(root, checkpointId))
+    if (all.length <= maxDirs) return false
+    val committed = committedBatches
+    val (dirs, orphans) = partitionCommitted(all, committed)
+    if (dirs.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .distinct()
+        .write.mode("overwrite").parquet(
+          s"${violationsDir(root, checkpointId)}/batch=compacted-${System.nanoTime()}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (dirs ++ orphans).foreach { d =>
+      val p = new Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    true
+  }
+
   /** S16 `delete` analog (s3.rb:181-183): after a successful commit, the
     * batch's consumed (conv_id, day) set is recorded in a per-batch
     * manifest. Our engine NEVER destroys source data — the manifest IS

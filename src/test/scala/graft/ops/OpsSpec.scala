@@ -364,14 +364,75 @@ class OpsSpec extends AnyFunSuite {
     // produces); x~y a separate component
     val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y"))
       .toDF("id_a", "id_b")
-    val (df, iters, converged) = Dedup.resolveClustersIter(pairs)
-    assert(converged, s"tiny graph must converge (ran $iters iters)")
-    val got = df.orderBy($"id").collect()
+    val res = Dedup.resolveClustersIter(pairs)
+    assert(res.converged,
+      s"tiny graph must converge (ran ${res.iterations} iters)")
+    val got = res.labels.orderBy($"id").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
     assert(got == Seq(
       ("a", "a", true), ("b", "a", false), ("c", "a", false),
       ("x", "x", true), ("y", "x", false)),
       s"got $got")
+    res.release() // frees the final checkpoint's blocks (ADVICE r4)
+  }
+
+  test("resolveClusters pointer jumping: a 50-long chain converges in " +
+      "O(log n) iterations, not O(n)") {
+    // versioned/serial documents produce exactly this shape: each
+    // revision pairs only with its neighbors. Plain neighbor-min
+    // propagation needs ~50 rounds here; the shortcut step doubles the
+    // label reach per round.
+    val chain = (0 until 50).map(i => (f"v$i%02d", f"v${i + 1}%02d"))
+      .toDF("id_a", "id_b")
+    val res = Dedup.resolveClustersIter(chain)
+    assert(res.converged, "50-chain must converge within the default cap")
+    assert(res.iterations <= 7,
+      s"pointer jumping must converge a 50-chain in <=7 iterations " +
+        s"(got ${res.iterations})")
+    assert(res.labels.select($"cluster_id").distinct().count() == 1)
+    assert(res.labels.filter($"keep").collect().map(_.getString(0)).toSeq
+      == Seq("v00"), "min id survives")
+    res.release()
+  }
+
+  test("pair materialization: persisted pairs feed cluster resolution " +
+      "and curated builds identically to direct derivation; uncommitted " +
+      "dirs are invisible") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pairs").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+
+    // compute ONCE, persist; an orphan (uncommitted) dir is planted too
+    Dedup.writePairs(pairs, root, "corpus1", "b1")
+    Dedup.writePairs(pairs.limit(1), root, "corpus1", "orphan")
+    assert(Dedup.readPairs(spark, root, "corpus1", Set.empty).isEmpty,
+      "no committed batch -> no pair table, not an empty fabrication")
+    val persisted = Dedup.readPairs(spark, root, "corpus1", Set("b1")).get
+    assert(persisted.exceptAll(pairs).count() == 0 &&
+      pairs.exceptAll(persisted).count() == 0,
+      "round-trip must preserve the pair set exactly")
+
+    // cluster resolution over the PERSISTED pairs == direct derivation
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.get(0).toString, r.get(1).toString, r.getBoolean(2)))
+        .toSet
+    val direct = labelSet(Dedup.resolveClusters(pairs))
+    val cdir = Dedup.writeClusters(persisted, root, "corpus1", "b1")
+    val stored = spark.read.parquet(cdir)
+    assert(labelSet(stored) == direct,
+      "persisted labels must equal the direct resolution")
+
+    // curated build consuming the persisted label table == one-shot op
+    val keptDirect = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select($"doc_id").collect().map(_.get(0).toString).toSet
+    val keptStored = Dedup.dropNonSurvivors(docs, "doc_id", stored)
+      .select($"doc_id").collect().map(_.get(0).toString).toSet
+    assert(keptStored == keptDirect)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("resolveClusters bounds iterations and over-segments (never " +
@@ -379,19 +440,23 @@ class OpsSpec extends AnyFunSuite {
     // a diameter-7 chain: 0-1-2-...-7
     val chain = (0 until 7).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
       .toDF("id_a", "id_b")
-    val (capped, itersC, convergedC) =
-      Dedup.resolveClustersIter(chain, maxIters = 2)
-    assert(!convergedC && itersC == 2, "the cap must fire on a long chain")
+    val cappedRes = Dedup.resolveClustersIter(chain, maxIters = 2)
+    assert(!cappedRes.converged && cappedRes.iterations == 2,
+      "the cap must fire on a long chain")
+    val capped = cappedRes.labels
     val labels = capped.select($"cluster_id").distinct().count()
     assert(labels > 1, "early stop over-segments")
     // every partial label is still a member of the true component —
     // labels only decrease toward the true min, never cross components
     assert(capped.filter(!$"cluster_id".startsWith("n")).count() == 0)
+    cappedRes.release()
     // and with the default cap the same chain fully converges
-    val (full, _, convergedF) = Dedup.resolveClustersIter(chain)
-    assert(convergedF)
+    val fullRes = Dedup.resolveClustersIter(chain)
+    assert(fullRes.converged)
+    val full = fullRes.labels
     assert(full.select($"cluster_id").distinct().count() == 1)
     assert(full.filter($"keep").collect().map(_.getString(0)).toSeq ==
       Seq("n00"), "min id survives")
+    fullRes.release()
   }
 }

@@ -205,12 +205,13 @@ object PipelineProps extends Properties("pipeline") {
         pairs.foreach { case (a, b) => union(a, b) }
         val expect = parent.keys
           .map(n => n -> find(n)).toMap // min id per component by union rule
-        val (df, _, converged) = graft.ops.Dedup.resolveClustersIter(
+        val res = graft.ops.Dedup.resolveClustersIter(
           pairs.toDF("id_a", "id_b"))
-        val got = df.collect()
+        val got = res.labels.collect()
           .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
           .toMap
-        converged &&
+        res.release()
+        res.converged &&
           got.keySet == expect.keySet &&
           got.forall { case (id, (label, keep)) =>
             label == expect(id) && keep == (id == label)

@@ -1531,9 +1531,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val r1 = Main.runCycle(spark, cfg, at("2025-08-02T00:00:00Z"))
     assert(r1.rowsProcessed == 1L)
-    val m1 = spark.read
-      .parquet(s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r1.batchId}")
-    assert(m1.count() == 0L,
+    // nothing stranded -> no manifest dir AT ALL (an empty dir per
+    // cycle would grow the namespace for no information)
+    val m1 = new org.apache.hadoop.fs.Path(
+      s"${Sinks.deferredDir(cfg.sinkRoot, Lineage.checkpointId(cfg))}/batch=${r1.batchId}")
+    assert(!m1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(m1),
       "a deferred row the watermark has NOT passed must not be manifested")
 
     // restore completes in the source; the NORMAL path picks it up
@@ -1643,4 +1646,121 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1L,
       "cross-identity isolation: another pipeline's backlog untouched")
   }
+
+  test("null KEY columns are contract violations like null ts: excluded " +
+      "from the delta, quarantined once at seal, never re-manifested by " +
+      "a standing re-audit") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    val in = s"$scratch/nk_in"
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType),
+      StructField("day", StringType)))
+    val txt = "2026-04-01T10:00:00Z INFO [user] x"
+    val rows = Seq(
+      Row("w1", 0, "user", txt, null, at("2026-04-01T10:00:00Z"), "2026-04-01"),
+      // valid ts, NULL conv_id: pre-fix this row was published AND
+      // re-manifested on every re-audit (equi anti-joins never match a
+      // null key), an unbounded-manifest edge (ADVICE r4)
+      Row(null, 1, "user", txt, null, at("2026-04-01T10:01:00Z"), "2026-04-01"),
+      // valid ts, NULL turn_idx: same class
+      Row("nkidx", null, "user", txt, null, at("2026-04-01T10:02:00Z"),
+        "2026-04-01"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/nk_sinks",
+      sealDaysGraceSeconds = 0)
+    val cid = Lineage.checkpointId(cfg)
+
+    val r1 = Main.runCycle(spark, cfg, at("2026-04-02T01:00:00Z"))
+    assert(r1.rowsProcessed == 1L,
+      "only the contract-conformant row is processable")
+    // the null-key rows reached NO sink...
+    val visible = Route.sinkNames
+      .map(s => Sinks.readSink(spark, cfg.sinkRoot, s).select($"conv_id"))
+      .reduce(_ unionByName _).collect().map(_.getString(0)).toSeq
+    assert(visible == Seq("w1"), s"got $visible")
+    // ...were NOT manifested as stranded (redrive could never release a
+    // null key — its joins are key equi-joins)...
+    val defDir = new org.apache.hadoop.fs.Path(
+      s"${Sinks.deferredDir(cfg.sinkRoot, cid)}/batch=${r1.batchId}")
+    val fs = defDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(defDir), "null-key rows must not enter the manifest")
+    // ...and ARE durably quarantined, exactly once
+    val viol = spark.read.parquet(
+      s"${cfg.sinkRoot}/_violations/$cid/batch=${r1.batchId}")
+    assert(viol.count() == 2L,
+      "both null-key rows belong to the violation census")
+    // a standing re-audit neither re-counts the census nor starts
+    // manifesting the null-key rows
+    Main.runCycle(spark, cfg.copy(reauditDays = Seq("2026-04-01")),
+      at("2026-04-02T02:00:00Z"))
+    Main.runCycle(spark, cfg.copy(reauditDays = Seq("2026-04-01")),
+      at("2026-04-02T03:00:00Z"))
+    assert(Sinks.batchDirs(spark,
+      Sinks.violationsDir(cfg.sinkRoot, cid)).size == 1,
+      "re-audits must not duplicate the census")
+    assert(Sinks.batchDirs(spark,
+      Sinks.deferredDir(cfg.sinkRoot, cid)).isEmpty,
+      "re-audits must never manifest contract-violating rows")
+  }
+
+  test("violations compaction folds committed census batches (mixed " +
+      "schemas preserved), drops orphans, leaves other identities alone") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val root = s"$scratch/cv_root"
+    val cid = "testcheckpointid"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val v1 = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType),
+      StructField("day", StringType)))
+    def write(b: String, schema: StructType, rows: Row*): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.mode("overwrite")
+        .parquet(s"${Sinks.violationsDir(root, cid)}/batch=$b")
+    write("a", v1, Row(null, 0, "user", "t1", null, ts0, "2025-09-01"),
+      Row("c1", null, "user", "t2", null, ts0, "2025-09-01"))
+    // a LATER engine version's census row carries an extra column — the
+    // fold must not lose it
+    val v2 = v1.add("storage_class", StringType)
+    write("b", v2,
+      Row("c2", 2, "user", "t3", null, null, "2025-09-01", "GLACIER"))
+    write("orph", v1, Row("cx", 9, "user", "tx", null, ts0, "2025-09-01"))
+    // another identity's census: never touched
+    write2(s"${Sinks.violationsDir(root, "othercid")}/batch=z", v1,
+      Row("other", 0, "u", "t", null, ts0, "2025-09-01"))
+
+    val committed = Set("a", "b")
+    assert(!Sinks.compactViolations(spark, root, cid, committed,
+      maxDirs = 16), "below threshold: no-op")
+    assert(Sinks.compactViolations(spark, root, cid, committed, maxDirs = 2))
+    val dirs = Sinks.batchDirs(spark, Sinks.violationsDir(root, cid))
+    assert(dirs.size == 1 && dirs.head.contains("batch=compacted-"),
+      s"got $dirs")
+    val folded = spark.read.option("mergeSchema", "true").parquet(dirs.head)
+    assert(folded.count() == 3L,
+      "committed rows preserved, orphan's row dropped (its audit never " +
+        "committed; the successor batch re-quarantined it)")
+    assert(folded.filter($"storage_class" === "GLACIER").count() == 1L,
+      "the newer schema's column survives the fold")
+    // the census's frozen-identity dedup read works on the compacted dir
+    val identityRead = spark.read.schema(v1).parquet(dirs.head)
+    assert(identityRead.count() == 3L &&
+      identityRead.filter($"conv_id".isNull).count() == 1L)
+    assert(spark.read
+      .parquet(s"${Sinks.violationsDir(root, "othercid")}/batch=z")
+      .count() == 1L, "cross-identity isolation")
+  }
+
+  private def write2(dest: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: org.apache.spark.sql.Row*): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(dest)
 }

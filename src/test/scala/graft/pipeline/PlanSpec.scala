@@ -178,10 +178,13 @@ class PlanSpec extends AnyFunSuite {
       s"label propagation must join by key, not all-pairs:\n$plan")
     // the bound is a hard stop, not advisory (OpsSpec covers the
     // over-segmentation semantics of an early stop)
-    val chain = (0 until 30).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
-    val (_, iters, converged) = graft.ops.Dedup.resolveClustersIter(
+    // 200 nodes: pointer jumping reaches ~2^k nodes after k rounds, so
+    // 3 capped iterations cover at most ~30 hops — the cap still fires
+    val chain = (0 until 200).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val res = graft.ops.Dedup.resolveClustersIter(
       chain.toDF("id_a", "id_b"), maxIters = 3)
-    assert(iters == 3 && !converged)
+    assert(res.iterations == 3 && !res.converged)
+    res.release()
   }
 
   test("d14 chunking is a pure narrow explode — zero exchanges") {
