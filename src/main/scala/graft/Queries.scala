@@ -903,6 +903,52 @@ object Queries {
        FROM dd WHERE doc_id NOT IN (SELECT id FROM dropids)
        GROUP BY source ORDER BY source"""
 
+  /** Cross-cycle dedup replay (d20): the engine's opt-in dedup stage
+    * (Main.runCycle -> Dedup.reRouteSeen) over a two-cycle split of the
+    * constructed transcript — cycle 1 = even turn_idx, cycle 2 = odd.
+    * A deterministic subset (turn_idx % 13 == 0) shares ONE boilerplate
+    * text across both cycles, so cycle 2's copies must re-route to the
+    * `duplicate` sink (visible, never dropped) while its novel rows
+    * keep their content sinks. The oracle replays the split + the
+    * fingerprint membership join in SQL over the same text rewrite.
+    */
+  def d20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline._
+    val boiler = "2026-01-01T00:00:00Z INFO [user] boilerplate greeting"
+    val base = eventsAsTurns(spark, dir)
+      .withColumn("text",
+        when(col("turn_idx") % 13 === 0, lit(boiler)).otherwise(col("text")))
+    def cycle(par: Int) =
+      Pipeline(base.filter(col("turn_idx") % 2 === par).as[Turn],
+        excludePattern = "\"k\": 8\\d")
+    val seen = cycle(0).filter(col("sink").isin(Route.contentSinks: _*))
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    graft.ops.Dedup.reRouteSeen(cycle(1), seen,
+        Route.contentSinks, Route.duplicateSink)
+      .groupBy(col("sink")).agg(count(lit(1)).as("n_turns"))
+      .orderBy(col("sink"))
+  }
+
+  // lazy: pipelineSqlSource/pipelineSqlRoute are declared further down
+  // the file (next to the p-queries they also serve)
+  lazy val d20Sql: String = {
+    val contentIn = "('user','assistant','tool','system','other')"
+    val fp = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    pipelineSqlSource + ",\n       " +
+      """x2 AS (SELECT * REPLACE (CASE WHEN event_id % 13 = 0
+           THEN '2026-01-01T00:00:00Z INFO [user] boilerplate greeting'
+           ELSE text END AS text) FROM x),
+       """ + pipelineSqlRoute("x2") + s""",
+       c1fp AS (SELECT DISTINCT $fp AS fp FROM r
+                WHERE event_id % 2 = 0 AND sink IN $contentIn),
+       c2 AS (SELECT CASE WHEN sink IN $contentIn
+                AND $fp IN (SELECT fp FROM c1fp)
+              THEN 'duplicate' ELSE sink END AS sink
+              FROM r WHERE event_id % 2 = 1)
+       SELECT sink, count(*) AS n_turns FROM c2 GROUP BY sink ORDER BY sink"""
+  }
+
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1623,7 +1669,7 @@ object Queries {
     * decision (Parse.parseColumns validation + Route.sinkExpr precedence
     * with excludePattern `"k": 8\d`).
     */
-  private val pipelineSqlPrelude: String =
+  private val pipelineSqlSource: String =
     """WITH t AS (SELECT event_id, user_id, ts, value, props,
          CASE event_type WHEN 'view' THEN 'user' WHEN 'click' THEN 'assistant'
               WHEN 'purchase' THEN 'tool' WHEN 'signup' THEN 'system'
@@ -1636,20 +1682,29 @@ object Queries {
               ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
                    CASE WHEN value > 150.0 THEN 'WARN' ELSE 'INFO' END ||
                    ' [' || role || '] ' || props END AS text
-         FROM t),
-       r AS (SELECT *,
+         FROM t)"""
+
+  /** The routing CTE (Parse.parseColumns validation + Route.sinkExpr
+    * precedence) over any relation with (text, role) — `x` for the
+    * plain pipeline queries, a text-rewriting intermediate for d20.
+    */
+  private def pipelineSqlRoute(rel: String): String =
+    s"""r AS (SELECT *,
          CASE WHEN (starts_with(text, '#Version: ') AND length(text) > 10
                     AND NOT contains(text, chr(10)))
                 OR (starts_with(text, '#Fields: ') AND length(text) > 9
                     AND NOT contains(text, chr(10))) THEN 'consumed'
               WHEN NOT (regexp_matches(text,
-                  '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z (TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \[\w+\] ')
+                  '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?Z (TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[\\w+\\] ')
                   AND NOT contains(text, chr(10)))
-                AND NOT regexp_matches(text, '^\s+') THEN 'deadletter'
-              WHEN regexp_matches(text, '"k": 8\d') THEN 'excluded'
+                AND NOT regexp_matches(text, '^\\s+') THEN 'deadletter'
+              WHEN regexp_matches(text, '"k": 8\\d') THEN 'excluded'
               WHEN role IN ('user','assistant','tool','system') THEN role
               ELSE 'other' END AS sink
-         FROM x)"""
+         FROM $rel)"""
+
+  private val pipelineSqlPrelude: String =
+    pipelineSqlSource + ",\n       " + pipelineSqlRoute("x")
 
   /** Full transcript pipeline fan-out: the REAL operator chain
     * ([[graft.pipeline.Pipeline]]: parseColumns -> Route -> Enrich ->
@@ -1795,6 +1850,7 @@ object Queries {
     "d15_contamination" -> (d15 _),
     "d18_neardup_clusters" -> (d18 _),
     "d19_curated_corpus" -> (d19 _),
+    "d20_crosscycle_dedup" -> (d20 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -1855,6 +1911,7 @@ object Queries {
     "d15_contamination" -> d15Sql,
     "d18_neardup_clusters" -> d18Sql,
     "d19_curated_corpus" -> d19Sql,
+    "d20_crosscycle_dedup" -> d20Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,

@@ -475,6 +475,36 @@ object Dedup {
       .join(seenFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
 
+  /** [[dropSeen]]'s pipeline-integrated sibling: instead of DROPPING a
+    * row whose fingerprint an earlier cycle already published, RE-ROUTE
+    * it to `dupSink` — the engine never silently discards data, so a
+    * cross-cycle duplicate becomes a visible, auditable sink row
+    * (graft.pipeline.Route.duplicateSink) that the lineage/seal-audit
+    * machinery counts as delivered. Only rows already routed to a
+    * content sink are screened; metadata/reject rows keep their sinks.
+    *
+    * One LEFT join on the 16-byte fingerprint key, strategy left to the
+    * planner: the seen-set is usually compact (distinct fps of
+    * published content — AQE broadcasts it), but after years of cycles
+    * it can be arbitrarily large, and a forced broadcast would OOM the
+    * driver; at that scale the fingerprint store is bucketed on `fp`
+    * so the join co-partitions. `seenFps` is distinct'd here so a
+    * duplicated store row can never fan out the probe side.
+    */
+  def reRouteSeen(routed: DataFrame, seenFps: DataFrame,
+      contentSinks: Seq[String], dupSink: String,
+      textCol: String = "text"): DataFrame = {
+    val seen = seenFps.select(col("fp").as("_fp")).distinct()
+      .withColumn("_seen", lit(true))
+    routed
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("_fp"), "left")
+      .withColumn("sink",
+        when(col("_seen") && col("sink").isin(contentSinks: _*),
+          lit(dupSink)).otherwise(col("sink")))
+      .drop("_fp", "_seen")
+  }
+
   /** 16-bit SimHash from the md5 hex digits of each token: bit i of the
     * fingerprint is the majority vote of (hex digit i of md5(token)) & 1
     * over the doc's distinct tokens. Hamming-close simhashes => textual

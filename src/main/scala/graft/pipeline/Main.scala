@@ -82,12 +82,17 @@ object Main {
       cfg.reauditDays.toSet.intersect(completed)
 
     // 3-5. parse -> route -> enrich -> prefix scan (one wide step, last,
-    // so consumers that drop columns shuffle less — see Pipeline)
+    // so consumers that drop columns shuffle less — see Pipeline) ->
+    // optional cross-cycle dedup re-route (reads the committed
+    // fingerprint store from the same cycle-start committed set as
+    // every other exactly-once check, so a crash re-run reproduces
+    // identical routing)
     import spark.implicits._
-    val routed = Pipeline(delta.as[Turn](
-      org.apache.spark.sql.Encoders.product[Turn]),
-      cfg.excludePattern, cfg.chunkSize,
-      codec = Pipeline.codecFor(cfg)).cache()
+    val routed = dedupStage(spark, cfg, committedAtStart,
+      Pipeline(delta.as[Turn](
+        org.apache.spark.sql.Encoders.product[Turn]),
+        cfg.excludePattern, cfg.chunkSize,
+        codec = Pipeline.codecFor(cfg))).cache()
 
     // new per-day watermarks from the routed delta (one pass; also the
     // emptiness check)
@@ -306,6 +311,30 @@ object Main {
       keys, "left_anti")
   }
 
+  /** The opt-in cross-cycle dedup stage (cfg.dedupAcrossCycles): rows
+    * whose fingerprint an EARLIER committed batch delivered to a
+    * content sink re-route to the `duplicate` sink
+    * (Dedup.reRouteSeen — visible and counted, never dropped). The
+    * seen-set is gated on `committed` — the caller's ONE cycle-start
+    * lineage read — so an orphan fingerprint dir from a crashed cycle
+    * is invisible and a crash re-run (same committed set, same batch
+    * id) reproduces byte-identical routing: exactly-once holds across
+    * every crash window for the SAME reason it does for publishes.
+    * Within-batch duplicates are intentionally NOT screened (neither
+    * fp is committed yet): the invariant is "no content row whose
+    * fingerprint a PRIOR batch published", and within-corpus dedup is
+    * the explicit d01-operator surface.
+    */
+  private def dedupStage(spark: SparkSession, cfg: PipelineConfig,
+      committed: Set[String],
+      routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (!cfg.dedupAcrossCycles) routed
+    else Sinks.readFingerprints(spark, cfg.sinkRoot,
+        Lineage.checkpointId(cfg), committed)
+      .map(graft.ops.Dedup.reRouteSeen(routed, _,
+        Route.contentSinks, Route.duplicateSink))
+      .getOrElse(routed)
+
   /** The publish discipline every batch (normal or re-driven) follows:
     * staged write -> atomic publish -> archive copy (iff configured;
     * BEFORE the commit, like the reference's backup-then-sincedb
@@ -331,20 +360,31 @@ object Main {
         Seq(cfg.storageClassCol, cfg.restoreHeaderCol)
           .filter(c => c != null && c.nonEmpty))
     val absorb = beforeCommit()
+    // the dedup write side rides the same pre-commit window as the
+    // manifests/ledger: the fp dir only counts once its batch commits,
+    // and the idempotent re-run overwrites it wholesale
+    if (cfg.dedupAcrossCycles)
+      Sinks.writeFingerprints(routed, cfg.sinkRoot,
+        Lineage.checkpointId(cfg), batchId, Route.contentSinks)
     Aggregate.writeAll(routed, cfg.sinkRoot, batchId)
     Lineage.commitAt(spark, lineageDir, absorbInto(commits, absorb))
     Lineage.compactAt(spark, lineageDir) // no-op until history accumulates
     if (cfg.deleteAfterProcess)
       Sinks.markConsumed(routed, cfg.sinkRoot, batchId)
-    if (cfg.deferralConfigured) {
+    if (cfg.deferralConfigured || cfg.dedupAcrossCycles) {
       // lazily shared: each compactor evaluates the committed set only
       // past its listing threshold, and at most ONE lineage read serves
-      // both when they do
+      // all of them when they do
       lazy val committedNow = Lineage.committedBatchesAt(spark, lineageDir)
-      Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
-        committedNow)
-      Sinks.compactViolations(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
-        committedNow)
+      if (cfg.deferralConfigured) {
+        Sinks.compactDeferred(spark, cfg.sinkRoot, Lineage.checkpointId(cfg),
+          committedNow)
+        Sinks.compactViolations(spark, cfg.sinkRoot,
+          Lineage.checkpointId(cfg), committedNow)
+      }
+      if (cfg.dedupAcrossCycles)
+        Sinks.compactFingerprints(spark, cfg.sinkRoot,
+          Lineage.checkpointId(cfg), committedNow)
     }
     published
   }
@@ -542,9 +582,10 @@ object Main {
     // discipline as a normal cycle (publishBatch), the ledger write as
     // its pre-commit hook — it differs only in never advancing a
     // watermark
-    val routed = Pipeline(eligibleNow.as[Turn](
-      org.apache.spark.sql.Encoders.product[Turn]),
-      cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg))
+    val routed = dedupStage(spark, cfg, committed,
+      Pipeline(eligibleNow.as[Turn](
+        org.apache.spark.sql.Encoders.product[Turn]),
+        cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg)))
       .cache()
     // committed_at = epoch, NOT now: committed_at is the day-dir
     // observation stamp behind the sealed-day reopen check
@@ -629,7 +670,9 @@ object Main {
         .exists(_.toBoolean),
       sealDaysGraceSeconds = opts.getOrElse("seal-days-grace", "-1").toInt,
       reauditDays = opts.get("reaudit-days")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      dedupAcrossCycles = opts.get("dedup-across-cycles")
+        .exists(_.toBoolean))
     val res =
       if (redrive) redriveDeferred(spark, cfg, asOf)
       else runCycle(spark, cfg, asOf)

@@ -32,6 +32,21 @@ object Route {
     Seq("user", "assistant", "tool", "system", "other",
       "consumed", "deadletter", "excluded")
 
+  /** The sinks that carry actual conversation CONTENT — the rows
+    * cross-cycle dedup screens. Metadata/reject sinks (consumed,
+    * deadletter, excluded) are exempt: their rows are routing
+    * artifacts, not corpus documents.
+    */
+  val contentSinks: Seq[String] =
+    Seq("user", "assistant", "tool", "system", "other")
+
+  /** Where a cross-cycle duplicate lands (PipelineConfig
+    * .dedupAcrossCycles) — a first-class sink dir like every other, so
+    * duplicates stay visible, auditable and counted by the seal audit's
+    * published-keys side (never silently dropped).
+    */
+  val duplicateSink: String = "duplicate"
+
   def sinkExpr(excludePattern: String,
       customRules: Seq[(Column, String)] = Nil): Column = {
     val base =

@@ -142,7 +142,13 @@ case class PipelineConfig(
     backupAddPrefix: String = null,
     deleteAfterProcess: Boolean = false,
     sealDaysGraceSeconds: Int = -1,
-    reauditDays: Seq[String] = Nil) {
+    reauditDays: Seq[String] = Nil,
+    // opt-in cross-cycle dedup: rows whose normalized-text fingerprint
+    // was already published to a content sink by an EARLIER committed
+    // batch re-route to the `duplicate` sink (never silently dropped).
+    // The fingerprint store lives under _fingerprints/<checkpointId>,
+    // maintained with the engine's committed-batch discipline.
+    dedupAcrossCycles: Boolean = false) {
 
   /** The ONE definition of "S6 is configured" (empty string == null ==
     * disabled) — gates the eligibility predicate, the schema extension,

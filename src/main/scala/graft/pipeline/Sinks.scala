@@ -156,6 +156,67 @@ object Sinks {
   def violationsDir(root: String, checkpointId: String): String =
     s"$root/_violations/$checkpointId"
 
+  /** Fingerprint store for cross-cycle dedup
+    * (PipelineConfig.dedupAcrossCycles): per-batch dirs of the DISTINCT
+    * normalized-text fingerprints each committed batch delivered to a
+    * content sink. Identity-keyed like every namespace; readers gate on
+    * the committed-batch set, so an orphan dir from a crashed cycle is
+    * invisible and the idempotent re-run overwrites it.
+    */
+  def fingerprintsDir(root: String, checkpointId: String): String =
+    s"$root/_fingerprints/$checkpointId"
+
+  /** Record the batch's content-sink fingerprints (the dedup write
+    * side). Distinct per batch — within-batch multiplicity is not the
+    * store's business; one row per fp bounds the store by corpus
+    * cardinality, not delivery count.
+    */
+  def writeFingerprints(routed: DataFrame, root: String,
+      checkpointId: String, batchId: String,
+      contentSinks: Seq[String]): String = {
+    val dest = s"${fingerprintsDir(root, checkpointId)}/batch=$batchId"
+    routed.filter(col("sink").isin(contentSinks: _*))
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  /** The committed seen-set (None when no committed batch has recorded
+    * fingerprints yet — first cycle, or the feature just turned on).
+    */
+  def readFingerprints(spark: SparkSession, root: String,
+      checkpointId: String, committed: Set[String]): Option[DataFrame] = {
+    val dirs = partitionCommitted(
+      batchDirs(spark, fingerprintsDir(root, checkpointId)), committed)._1
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Fold fingerprint history into one distinct snapshot once the
+    * namespace exceeds `maxDirs` dirs — [[compactDeferred]]'s
+    * discipline (compacted-survivor naming, orphans deleted as crash
+    * debris, only pre-listed dirs touched). Keeps the seen-set read
+    * O(1) dirs and O(distinct fps) rows, not O(cycles).
+    */
+  def compactFingerprints(spark: SparkSession, root: String,
+      checkpointId: String, committedBatches: => Set[String],
+      maxDirs: Int = 64): Boolean = {
+    val all = batchDirs(spark, fingerprintsDir(root, checkpointId))
+    if (all.length <= maxDirs) return false
+    val committed = committedBatches
+    val (dirs, orphans) = partitionCommitted(all, committed)
+    if (dirs.nonEmpty)
+      spark.read.parquet(dirs: _*).distinct()
+        .write.mode("overwrite").parquet(
+          s"${fingerprintsDir(root, checkpointId)}/batch=compacted-${System.nanoTime()}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (dirs ++ orphans).foreach { d =>
+      val p = new Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    true
+  }
+
   /** Per-batch manifest of skipped-cold rows (S6): the reference loses
     * an unrestored object forever once sincedb passes its mtime
     * (s3.rb:152-156); we advance the watermark identically but keep the

@@ -1708,6 +1708,92 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "re-audits must never manifest contract-violating rows")
   }
 
+  test("cross-cycle dedup (opt-in): a later cycle's duplicate re-routes " +
+      "to the duplicate sink exactly once across a crash window; orphan " +
+      "fingerprint dirs are invisible; the store accumulates per cycle") {
+    def at(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    def row(c: String, txt: String, iso: String) =
+      (c, 0, "user", txt, null: String, at(iso),
+        iso.substring(0, 10))
+    val tA = "2026-05-01T10:00:00Z INFO [user] alpha"
+    val tB = "2026-05-01T11:00:00Z INFO [user] beta"
+    val tC = "2026-05-02T10:00:00Z INFO [user] gamma"
+    val in = s"$scratch/xd_in"
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "day")
+    Seq(row("a1", tA, "2026-05-01T10:00:00Z"),
+        row("a2", tB, "2026-05-01T11:00:00Z"))
+      .toDF(cols: _*).write.mode("overwrite").partitionBy("day").parquet(in)
+    val cfg = PipelineConfig(in, s"$scratch/xd_sinks",
+      dedupAcrossCycles = true)
+    val cid = Lineage.checkpointId(cfg)
+
+    val r1 = Main.runCycle(spark, cfg, at("2026-05-01T12:00:00Z"))
+    assert(r1.rowsProcessed == 2L)
+    val store1 = Sinks.readFingerprints(spark, cfg.sinkRoot, cid,
+      Lineage.committedBatchesAt(spark, Lineage.dirFor(cfg))).get
+    assert(store1.count() == 2L, "cycle 1 recorded both content fps")
+
+    // cycle 2 data: one DUPLICATE of tA, one novel row
+    Seq(row("b1", tA, "2026-05-02T09:00:00Z"),
+        row("b2", tC, "2026-05-02T10:00:00Z"))
+      .toDF(cols: _*).write.mode("append").partitionBy("day").parquet(in)
+    // an ORPHAN fingerprint dir (crashed cycle) claiming tC was seen:
+    // it must be ignored, or b2 would be wrongly routed to duplicate
+    spark.range(1)
+      .select(graft.ops.TextAnalysis.fingerprint(lit(tC)).as("fp"))
+      .write.mode("overwrite")
+      .parquet(s"${Sinks.fingerprintsDir(cfg.sinkRoot, cid)}/batch=deadbeef")
+
+    // crash window: staged write + publish + fingerprint write happened,
+    // lineage commit did NOT — readers see nothing; re-run is idempotent
+    val asOf2 = at("2026-05-02T12:00:00Z")
+    val (wms, _, committedAtStart) =
+      Lineage.stateAt(spark, Lineage.dirFor(cfg))
+    val batchId2 = Lineage.batchId(asOf2, wms, cid)
+    val delta = Discover.delta(spark, cfg, asOf2, wms)
+    val piped = Pipeline(delta.as[Turn], cfg.excludePattern)
+    val seen = Sinks.readFingerprints(spark, cfg.sinkRoot, cid,
+      committedAtStart).get
+    val routedPartial = graft.ops.Dedup.reRouteSeen(piped, seen,
+      Route.contentSinks, Route.duplicateSink)
+    Sinks.writeStaged(routedPartial, cfg.sinkRoot, batchId2, cfg.saltBuckets)
+    Sinks.publish(spark, cfg.sinkRoot, batchId2)
+    Sinks.writeFingerprints(routedPartial, cfg.sinkRoot, cid, batchId2,
+      Route.contentSinks)
+    assert(Sinks.readSink(spark, cfg.sinkRoot, Route.duplicateSink)
+      .count() == 0L, "uncommitted publish invisible to committed readers")
+
+    // the re-run reproduces the same batch id and routing
+    val r2 = Main.runCycle(spark, cfg, asOf2)
+    assert(r2.batchId == batchId2, "batch id is a pure function of state")
+    assert(r2.rowsProcessed == 2L)
+    val dup = Sinks.readSink(spark, cfg.sinkRoot, Route.duplicateSink)
+      .select($"conv_id").collect().map(_.getString(0)).toSeq
+    assert(dup == Seq("b1"),
+      s"the cross-cycle duplicate routes to the duplicate sink once, got $dup")
+    val users = Sinks.readSink(spark, cfg.sinkRoot, "user")
+      .select($"conv_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(users == Seq("a1", "a2", "b2"),
+      s"novel rows keep their content sink (orphan store ignored), got $users")
+
+    // the store accumulated cycle 2's novel fp: a cycle-3 duplicate of
+    // tC now re-routes too
+    Seq(row("c1", tC, "2026-05-03T09:00:00Z"))
+      .toDF(cols: _*).write.mode("append").partitionBy("day").parquet(in)
+    val r3 = Main.runCycle(spark, cfg, at("2026-05-03T12:00:00Z"))
+    assert(r3.rowsProcessed == 1L)
+    val dup3 = Sinks.readSink(spark, cfg.sinkRoot, Route.duplicateSink)
+      .select($"conv_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(dup3 == Seq("b1", "c1"),
+      s"cycle 3 screens against cycle 2's committed fps, got $dup3")
+    // b1 (a duplicate) must NOT have re-recorded tA's fp; store rows
+    // stay one per distinct content fp
+    val store3 = Sinks.readFingerprints(spark, cfg.sinkRoot, cid,
+      Lineage.committedBatchesAt(spark, Lineage.dirFor(cfg))).get
+    assert(store3.distinct().count() == 3L,
+      "store = {tA, tB, tC}: duplicate-sink rows never re-record fps")
+  }
+
   test("violations compaction folds committed census batches (mixed " +
       "schemas preserved), drops orphans, leaves other identities alone") {
     import org.apache.spark.sql.types._
