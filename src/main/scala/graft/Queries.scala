@@ -1804,6 +1804,27 @@ object Queries {
        SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
        FROM m GROUP BY kind ORDER BY kind"""
 
+  /** REAL image-container header decode (m02): structurally valid
+    * PNG/JPEG payloads (Multimodal.synthImagePayload — real signatures,
+    * IHDR chunk, JPEG marker-segment walk past APP0+COM to SOF0) carry
+    * closed-form dimensions; the distributed parse
+    * (Multimodal.ImageCodec, pure-JVM byte walk, no media libs) must
+    * recover exactly them. The oracle recomputes the closed forms —
+    * a parse bug at any offset diverges immediately — and OpsSpec pins
+    * the parser against hand-assembled SPEC fixtures (including a CRC'd
+    * real 1x1 PNG) so a symmetric construct/parse bug cannot hide.
+    */
+  def m02(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.imageDims(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m02Sql: String =
+    """SELECT range AS media_id,
+         CASE WHEN range % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(16 + (range * 2654435761) % 496 AS INT) AS width,
+         CAST(16 + (range * 40503) % 496 AS INT) AS height
+       FROM range(64) ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1864,7 +1885,8 @@ object Queries {
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
-    "m01_multimodal_features" -> (m01 _)
+    "m01_multimodal_features" -> (m01 _),
+    "m02_image_header_decode" -> (m02 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1924,6 +1946,7 @@ object Queries {
     "e08_kmeans_converged" -> e08Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
+    "m02_image_header_decode" -> m02Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

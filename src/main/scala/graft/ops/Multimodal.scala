@@ -81,9 +81,159 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — deterministic fake. A real implementation would wrap
-    * an image/audio library here; everything around it (batching,
-    * instance reuse, schema) is production-shaped.
+  /** REAL image-container header decode — pure-JVM byte parsing, no
+    * media libraries: PNG dimensions from the IHDR chunk and JPEG
+    * dimensions from a proper marker-segment walk to the first SOF.
+    * This replaces the synthetic-header stub for the image-dimension
+    * path (m02); [[StubCodec]] remains only for pixel-level work
+    * (feature extraction / resample) that genuinely needs codec
+    * libraries absent from this environment.
+    */
+  object ImageCodec {
+
+    private def u8(p: Array[Byte], o: Int): Int = p(o) & 0xff
+    private def be16(p: Array[Byte], o: Int): Int =
+      (u8(p, o) << 8) | u8(p, o + 1)
+    private def be32(p: Array[Byte], o: Int): Long =
+      (u8(p, o).toLong << 24) | (u8(p, o + 1) << 16) |
+        (u8(p, o + 2) << 8) | u8(p, o + 3)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height) from a PNG or JPEG payload prefix; None
+      * for anything unparseable (wrong magic, truncated, dims missing
+      * before the scan data). Never throws — a corrupt blob in a 100 TB
+      * table must classify, not kill the task (the reference's
+      * broken-file-skip discipline applied to media).
+      */
+    def decodeDims(payload: Array[Byte]): Option[(String, Int, Int)] =
+      if (payload == null) None
+      else if (isPng(payload)) decodePng(payload)
+      else if (payload.length >= 2 && u8(payload, 0) == 0xff &&
+        u8(payload, 1) == 0xd8) decodeJpeg(payload)
+      else None
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (0 until 8).forall(i => p(i) == pngSig(i))
+
+    /** PNG: the IHDR chunk is REQUIRED to be first (PNG spec 11.2.1):
+      * bytes 8-11 length (must be 13), 12-15 type "IHDR", 16-19 width,
+      * 20-23 height, all big-endian.
+      */
+    private def decodePng(p: Array[Byte]): Option[(String, Int, Int)] =
+      if (p.length < 24 || be32(p, 8) != 13L ||
+        !(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+        None
+      else {
+        val (w, h) = (be32(p, 16), be32(p, 20))
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+        else Some(("png", w.toInt, h.toInt))
+      }
+
+    /** JPEG: walk marker segments from SOI to the first SOFn frame
+      * header (C0-CF except C4/C8/CC, which are tables/extensions):
+      * precision(1) height(2) width(2) follow the segment length.
+      * Standalone markers (RST, TEM) have no length field; fill bytes
+      * (repeated FF) are permitted before any marker (ITU T.81 B.1.1.2).
+      */
+    private def decodeJpeg(p: Array[Byte]): Option[(String, Int, Int)] = {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(p, i) != 0xff) return None // lost marker alignment
+        var j = i
+        while (j + 1 < p.length && u8(p, j + 1) == 0xff) j += 1 // fill
+        val m = u8(p, j + 1)
+        if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+        else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i = j + 2
+        else {
+          if (j + 3 >= p.length) return None
+          val len = be16(p, j + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (j + 8 >= p.length) return None
+            val h = be16(p, j + 5)
+            val w = be16(p, j + 7)
+            return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+          }
+          i = j + 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** Deterministic REAL image payloads for the m02 oracle: structurally
+    * valid PNG/JPEG headers (by parity of id) carrying closed-form
+    * dimensions any engine can recompute —
+    * w = 16 + (id * 2654435761) mod 496, h = 16 + (id * 40503) mod 496
+    * — followed by seeded noise standing in for the compressed pixel
+    * data (the parser never reads past the frame header, exactly like
+    * production dimension extraction). PNG CRCs are not backfilled
+    * (the parser, like most fast-path dimension sniffers, does not
+    * validate them); offsets are pinned against REAL hand-assembled
+    * spec fixtures in OpsSpec, so a symmetric construct/parse bug
+    * cannot hide.
+    */
+  def synthImageDims(id: Long): (Int, Int) =
+    (16 + Math.floorMod(id * 2654435761L, 496L).toInt,
+      16 + Math.floorMod(id * 40503L, 496L).toInt)
+
+  def synthImagePayload(id: Long): Array[Byte] = {
+    val (w, h) = synthImageDims(id)
+    val noise = new Array[Byte](64)
+    new java.util.Random(id).nextBytes(noise)
+    val bb = java.nio.ByteBuffer.allocate(64 + noise.length)
+    if (id % 2 == 0) {
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h)
+      bb.put(8.toByte).put(2.toByte) // bit depth, truecolor
+      bb.put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+      bb.putInt(0) // CRC (not validated by dimension sniffers)
+    } else {
+      bb.putShort(0xffd8.toShort) // SOI
+      bb.putShort(0xffe0.toShort).putShort(16) // APP0/JFIF
+      bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      bb.putShort(0x0101.toShort).put(0.toByte)
+      bb.putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+      // a COM segment so the parser proves it WALKS segments
+      val comment = "graft".getBytes("US-ASCII")
+      bb.putShort(0xfffe.toShort).putShort((2 + comment.length).toShort)
+      bb.put(comment)
+      bb.putShort(0xffc0.toShort).putShort(17) // SOF0, 3 components
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.put(3.toByte)
+      bb.put(Array(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    }
+    bb.put(noise, 0, math.min(noise.length, bb.remaining()))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Distributed dimension extraction over the synthetic image table —
+    * the m02 query body: batched per-partition parse (one shared parser
+    * path per task, no per-row codec setup), blobs never shuffled (the
+    * output is 3 ints + a string per row).
+    */
+  def imageDims(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val dims = ImageCodec.decodeDims(synthImagePayload(id))
+        val (fmt, w, h) = dims.getOrElse(("undecodable", -1, -1))
+        (id, fmt, w, h)
+      }
+      .toDF("media_id", "format", "width", "height")
+  }
+
+  /** STUB decoder for PIXEL-level work only (feature extraction,
+    * resample) — a real implementation would wrap an image/audio
+    * library, which this environment lacks; the dataflow around it
+    * (batching, instance reuse, schema) is production-shaped and the
+    * container-header surface is REAL ([[ImageCodec]]).
     */
   object StubCodec {
     /** "Decode": validate magic, read header dims, hash the body into a

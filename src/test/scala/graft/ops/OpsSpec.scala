@@ -358,6 +358,56 @@ class OpsSpec extends AnyFunSuite {
       r.getLong(1) == (r.getInt(2) + 999) / 1000))
   }
 
+  test("ImageCodec parses REAL spec fixtures: a CRC'd 1x1 PNG, a JPEG " +
+      "with APP1+COM segments and progressive SOF2; rejects garbage " +
+      "without throwing") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a genuine minimal PNG prefix: signature + IHDR for 1x1 RGBA8 with
+    // its REAL CRC (1f 15 c4 89) — byte-for-byte the file `convert` or
+    // any encoder emits, independent of our synth construction
+    val png1x1 = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89)
+    assert(Multimodal.ImageCodec.decodeDims(png1x1)
+      .contains(("png", 1, 1)))
+
+    // a JPEG the way cameras emit them: SOI, APP1 (Exif placeholder),
+    // COM, then a PROGRESSIVE frame header (SOF2) with h=480 w=640
+    val jpegProg = b(0xff, 0xd8,
+      0xff, 0xe1, 0x00, 0x08, 0x45, 0x78, 0x69, 0x66, 0x00, 0x00, // APP1
+      0xff, 0xfe, 0x00, 0x04, 0x68, 0x69, // COM "hi"
+      0xff, 0xc2, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, // SOF2 480x640
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Multimodal.ImageCodec.decodeDims(jpegProg)
+      .contains(("jpeg", 640, 480)))
+
+    // DHT (C4) must be walked PAST, not mistaken for a frame header
+    val jpegDht = b(0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x04, 0x00, 0x01, // DHT stub
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x02, 0x00, 0x03, // SOF0 2x3
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Multimodal.ImageCodec.decodeDims(jpegDht)
+      .contains(("jpeg", 3, 2)))
+
+    // rejection surface: never a throw
+    assert(Multimodal.ImageCodec.decodeDims(null).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(b(0x89, 0x50)).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(
+      b(0xff, 0xd8, 0xff, 0xd9)).isEmpty, "EOI before any SOF")
+    assert(Multimodal.ImageCodec.decodeDims(
+      png1x1.take(20)).isEmpty, "truncated IHDR")
+    // every synthesized payload round-trips to its closed-form dims
+    (0L until 32L).foreach { id =>
+      val (w, h) = Multimodal.synthImageDims(id)
+      val fmt = if (id % 2 == 0) "png" else "jpeg"
+      assert(Multimodal.ImageCodec.decodeDims(
+        Multimodal.synthImagePayload(id)).contains((fmt, w, h)),
+        s"id=$id")
+    }
+  }
+
   test("resolveClusters (d18): multi-hop pairs fold into one component " +
       "with the min-id survivor; disjoint clusters stay disjoint") {
     // A~B and B~C but A!~C (the transitive case LSH pair output
