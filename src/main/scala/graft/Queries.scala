@@ -1399,6 +1399,82 @@ object Queries {
        FROM a2 JOIN be ON be.vec_id = a2.vec_id
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Deterministic kmeans++-style IVF seeding (e09): hash-random first
+    * seed, then greedy D² (max rounded cosine distance to the nearest
+    * chosen seed, ties to smallest id) — [[Similarity
+    * .kmeansPlusPlusSeeds]] — followed by the e04 assignment census
+    * over the chosen centroids. The oracle replays the ENTIRE greedy
+    * chain stage by stage in SQL: same md5 first pick, same rounded
+    * distances, same argmax tie-break, then e04's assignment
+    * tie-break. OpsSpec asserts the recall property (seeding spread >=
+    * id-ordered seeding on a planted skewed fixture).
+    */
+  val e09K = 4
+
+  def e09(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = Similarity.kmeansPlusPlusSeeds(emb, "vec_id", "embedding",
+      e09K)
+    Similarity.ivfAssign(emb, "embedding", cents)
+      .groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("ivf_cluster"))
+  }
+
+  lazy val e09Sql: String = {
+    // distance-to-seed CTE: rounded cosine distance of EVERY vector to
+    // stage n's single seed (the seed row itself included, d = 0)
+    def ds(n: Int): String =
+      s"""ds$n AS (SELECT be.vec_id,
+           round(1.0 - sum(be.v::DOUBLE * sv.v::DOUBLE) / (bn.n * sn$n.nn), 6) AS d
+           FROM be
+           JOIN (SELECT i, v FROM be
+                 WHERE vec_id = (SELECT vec_id FROM s$n)) sv ON sv.i = be.i
+           JOIN bn ON bn.vec_id = be.vec_id
+           CROSS JOIN (SELECT n AS nn FROM bn
+                       WHERE vec_id = (SELECT vec_id FROM s$n)) sn$n
+           GROUP BY be.vec_id, bn.n, sn$n.nn)"""
+    def exclude(n: Int): String =
+      (1 to n).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ")
+    val stages = new scala.collection.mutable.ArrayBuffer[String]
+    stages += """s1 AS (SELECT vec_id FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"""
+    stages += ds(1)
+    stages += "m1 AS (SELECT vec_id, d AS dmin FROM ds1)"
+    for (n <- 2 to e09K) {
+      stages += s"""s$n AS (SELECT vec_id FROM m${n - 1}
+           WHERE vec_id NOT IN (${exclude(n - 1)})
+           ORDER BY dmin DESC, vec_id LIMIT 1)"""
+      if (n < e09K) {
+        stages += ds(n)
+        stages += s"""m$n AS (SELECT m${n - 1}.vec_id,
+             least(m${n - 1}.dmin, ds$n.d) AS dmin
+             FROM m${n - 1} JOIN ds$n ON ds$n.vec_id = m${n - 1}.vec_id)"""
+      }
+    }
+    s"""WITH be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v FROM embeddings),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+              FROM be GROUP BY vec_id),
+       ${stages.mkString(",\n       ")},
+       c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             WHERE vec_id IN (${exclude(e09K)})),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v
+              FROM c),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+              FROM ce GROUP BY cid),
+       dots AS (SELECT be.vec_id, ce.cid,
+                sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       scored AS (SELECT dots.vec_id, dots.cid,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid)
+       SELECT cid AS ivf_cluster, count(*) AS n_vectors
+       FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
+  }
+
   /** Composite training-data CURATION pipeline — the end-to-end flow a
     * 100 TB curation job runs: exact dedup (hash-agg + semi-join) ->
     * quality filter (narrow codegen'd features) -> language ID (narrow
@@ -1882,6 +1958,7 @@ object Queries {
     "e06_kmeans_iteration" -> (e06 _),
     "e07_lsh_topk" -> (e07 _),
     "e08_kmeans_converged" -> (e08 _),
+    "e09_kmeanspp_seeding" -> (e09 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -1944,6 +2021,7 @@ object Queries {
     "e06_kmeans_iteration" -> e06Sql,
     "e07_lsh_topk" -> e07Sql,
     "e08_kmeans_converged" -> e08Sql,
+    "e09_kmeanspp_seeding" -> e09Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "m02_image_header_decode" -> m02Sql,

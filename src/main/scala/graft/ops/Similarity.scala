@@ -120,6 +120,48 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
 
+  /** Deterministic kmeans++-style seeding (greedy D²/farthest-point):
+    * seed 1 is the hash-random pick (min md5 of the id — uniform over
+    * the corpus yet reproducible in any engine, unlike the id-ordered
+    * [[ivfCentroids]] whose first k ids may all share one region);
+    * each further seed is the point MAXIMIZING the rounded cosine
+    * distance to its nearest chosen seed (ties to the smallest id).
+    * Rounding to `roundDigits` before the argmax makes the selection
+    * engine-exact (the e06 cross-engine discipline), so a SQL oracle
+    * replays the seeds bit-for-bit.
+    *
+    * Cost: k-1 passes, each a narrow codegen'd map (the chosen seeds
+    * are literal vectors) + a top-1 TakeOrdered — no shuffle wider
+    * than one row per partition; only k x d doubles reach the driver.
+    * At 100 TB, run it on a deterministic hash-gated sample (the d17
+    * operator) — D² seeding on a 10^-4 sample is the standard trade.
+    */
+  def kmeansPlusPlusSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, roundDigits: Int = 6): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, "need at least one seed")
+    def seedOf(r: org.apache.spark.sql.Row): (Long, Seq[Double]) =
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
+    val first = df
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .limit(1).collect().map(seedOf).head
+    var seeds = Vector(first)
+    while (seeds.size < k) {
+      val dmin = seeds.map { case (_, sv) =>
+        round(lit(1.0) - cosineWithLiteral(col(vecCol), sv), roundDigits)
+      }.reduce(least(_, _))
+      val next = df
+        .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+          dmin.as("_d"))
+        .filter(!col("_id").isin(seeds.map(_._1): _*))
+        .orderBy(col("_d").desc, col("_id"))
+        .limit(1).collect().head
+      seeds = seeds :+ ((next.getLong(0),
+        next.getSeq[Float](1).map(_.toDouble)))
+    }
+    seeds
+  }
+
   /** Argmin-cosine cluster id over literal centroids (ties -> first). */
   def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cvec) =>

@@ -358,6 +358,49 @@ class OpsSpec extends AnyFunSuite {
       r.getLong(1) == (r.getInt(2) + 999) / 1000))
   }
 
+  test("kmeans++ seeding spreads seeds across clusters: IVF recall at " +
+      "nprobe=1 on an id-skewed fixture beats (>=) id-ordered seeding") {
+    // 4 true clusters on disjoint axis pairs of R^8; ids 0..24 ALL in
+    // cluster 0 — id-ordered seeding (ivfCentroids) takes its 4 seeds
+    // from ONE cluster, the exact pathology D^2 seeding fixes
+    val dims = 8
+    def vec(cluster: Int, j: Int): Seq[Float] = {
+      val a = Array.fill(dims)(0.0f)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.05f * ((j % 5) + 1) // deterministic jitter
+      a.toSeq
+    }
+    val rows = for (c <- 0 until 4; j <- 0 until 25)
+      yield (c * 25L + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val idSeeds = Similarity.ivfCentroids(df, "vec_id", "embedding", 4)
+    assert(idSeeds.map(_._1).forall(_ < 25),
+      "fixture sanity: id-ordered seeds all come from cluster 0")
+    val kpp = Similarity.kmeansPlusPlusSeeds(df, "vec_id", "embedding", 4)
+    assert(kpp.map(_._1 / 25).toSet.size == 4,
+      s"D^2 greedy must pick one seed per cluster, got ids ${kpp.map(_._1)}")
+
+    def recall(seeds: Seq[(Long, Seq[Double])]): Double = {
+      val assigned = Similarity.ivfAssign(df, "embedding", seeds).cache()
+      val scores = (0 until 4).map { c =>
+        val q = (0 until dims).map(d => if (d == c * 2) 1.0 else 0.0)
+        val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+          seeds, q, 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+        (exact intersect approx).size.toDouble / 10.0
+      }
+      assigned.unpersist()
+      scores.sum / scores.size
+    }
+    val (rKpp, rId) = (recall(kpp), recall(idSeeds))
+    assert(rKpp >= rId,
+      s"kmeans++ recall $rKpp must be >= id-ordered recall $rId")
+    assert(rKpp == 1.0,
+      s"one seed per cluster + nprobe=1 must give full recall, got $rKpp")
+  }
+
   test("ImageCodec parses REAL spec fixtures: a CRC'd 1x1 PNG, a JPEG " +
       "with APP1+COM segments and progressive SOF2; rejects garbage " +
       "without throwing") {
