@@ -159,6 +159,31 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must never shuffle/replicate on its own size:\n$plan")
   }
 
+  test("cross-cycle dedup re-route joins by fingerprint key — no " +
+      "cartesian/nested-loop even when the seen-set outgrows broadcast") {
+    // the seen store can be years of published fps: with stats above
+    // the broadcast threshold the planner must still pick a keyed
+    // equi-join (the 100 TB path is a bucketed-store co-partitioned
+    // join; a nested-loop here is O(rows x fps))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val routed = spark.range(5000).select(
+        concat(lit("t"), $"id").as("text"),
+        when($"id" % 2 === 0, "user").otherwise("deadletter").as("sink"))
+      val seen = spark.range(100000)
+        .select(md5(concat(lit("s"), $"id")).as("fp"))
+      val out = graft.ops.Dedup.reRouteSeen(routed, seen,
+        Route.contentSinks, Route.duplicateSink)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"dedup re-route must join on the fp key:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("d18 cluster resolution: every propagation step is an equi-join " +
       "on the id key — no cartesian/nested-loop, iterations hard-bounded") {
     // label propagation at 10^9 nodes lives or dies on the per-iteration
