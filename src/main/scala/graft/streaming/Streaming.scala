@@ -129,6 +129,62 @@ object Streaming {
     }
   }
 
+  /** Streaming fingerprint store for cross-batch dedup — the [[Carry]]
+    * discipline applied to the seen-set: one FULL snapshot of all
+    * content fingerprints per micro-batch (not per-batch deltas, whose
+    * read fan-in would grow O(batches)), read strictly-before the
+    * current batch id so a retried batch never consults its own
+    * crashed partial write, retention = latest three snapshots. This
+    * is the streaming face of the batch pipeline's
+    * `_fingerprints/<cid>` store (PipelineConfig.dedupAcrossCycles) —
+    * same invariant, same `duplicate` sink, checkpoint-replay-safe by
+    * the same strictly-before rule.
+    */
+  object StreamFingerprints {
+    import org.apache.spark.sql.types._
+
+    val schema: StructType = StructType(Seq(StructField("fp", StringType)))
+
+    def dir(sinkRoot: String): String = s"$sinkRoot/stream/_fingerprints"
+
+    /** Latest snapshot from a batch id STRICTLY BEFORE `beforeBatch`
+      * (empty frame when none exists — first batch or feature newly
+      * enabled).
+      */
+    def read(spark: SparkSession, sinkRoot: String,
+        beforeBatch: Long): DataFrame = {
+      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prev =
+        if (!fs.exists(d)) None
+        else fs.listStatus(d).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filter(_ < beforeBatch)
+          .sorted.lastOption
+      prev match {
+        case Some(b) => spark.read.schema(schema)
+          .parquet(s"${dir(sinkRoot)}/batch=$b")
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
+
+    def write(merged: DataFrame, sinkRoot: String, batchId: Long): Unit = {
+      merged.write.mode("overwrite")
+        .parquet(s"${dir(sinkRoot)}/batch=$batchId")
+      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+      val fs = d.getFileSystem(
+        merged.sparkSession.sparkContext.hadoopConfiguration)
+      fs.listStatus(d).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId - 2)
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
   /** Production shape: micro-batch = one reference polling cycle.
     * Parse/Enrich/Route are the identical batch operators; per-sink
     * rows append under `<sinkRoot>/stream/<sink>/`. Exactly-once comes
@@ -151,7 +207,8 @@ object Streaming {
       sinkRoot: String, checkpoint: String, excludePattern: String = "",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 64,
-      codec: Pipeline.Codec = Pipeline.GrokCodec): StreamingQuery = {
+      codec: Pipeline.Codec = Pipeline.GrokCodec,
+      dedupAcrossBatches: Boolean = false): StreamingQuery = {
     import spark.implicits._
     readTurns(spark, inputPath, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpoint)
@@ -196,14 +253,37 @@ object Streaming {
           .drop("carry_header", "carry_fields", "carry_sessions",
             "carry_max_idx")
           .cache()
+        // cross-batch dedup (opt-in): same invariant as the batch
+        // pipeline's dedupAcrossCycles — rows whose fingerprint an
+        // EARLIER batch delivered to a content sink re-route to the
+        // `duplicate` sink. The strictly-before snapshot read makes a
+        // retried batch route identically to its first attempt.
+        val published =
+          if (!dedupAcrossBatches) adjusted
+          else graft.ops.Dedup.reRouteSeen(
+            adjusted, StreamFingerprints.read(sess, sinkRoot, batchId),
+            Route.contentSinks, Route.duplicateSink).cache()
         // per-batch dir + overwrite => a retried micro-batch republishes
         // the same directory idempotently (no duplicate rows), the same
         // discipline as the batch pipeline's staged publish (Sinks).
-        adjusted
+        published
           .repartition(col("conv_id"))
           .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
           .write.mode("overwrite").partitionBy("sink")
           .parquet(s"$sinkRoot/stream/batch=$batchId")
+        // fp snapshot-out: previous seen-set plus THIS batch's content
+        // fps (duplicate-sink rows are already in the previous set by
+        // construction; distinct bounds the snapshot by corpus
+        // cardinality)
+        if (dedupAcrossBatches) {
+          val newFps = published
+            .filter(col("sink").isin(Route.contentSinks: _*))
+            .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+          StreamFingerprints.write(
+            StreamFingerprints.read(sess, sinkRoot, batchId)
+              .unionByName(newFps).distinct(),
+            sinkRoot, batchId)
+        }
         // carry-out: the conv's state AT ITS LAST ROW of this batch
         // (header/session are running values, so max_by(., turn_idx) is
         // the batch-final state), upserted over the previous snapshot
@@ -219,6 +299,7 @@ object Streaming {
         val merged = prev.join(batchCarry, Seq("conv_id"), "left_anti")
           .unionByName(batchCarry)
         Carry.write(merged, sinkRoot, batchId)
+        if (dedupAcrossBatches) published.unpersist()
         adjusted.unpersist()
         flagged.unpersist()
         ()

@@ -203,6 +203,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(("dd", 0))._1 == null, "no cross-conversation leakage")
   }
 
+  test("cross-batch dedup (opt-in): a later micro-batch's duplicate " +
+      "re-routes to the duplicate sink; novel rows pass; the fp " +
+      "snapshot follows the Carry retention discipline") {
+    val input = s"$scratch/xbd_input"
+    val sinkRoot = s"$scratch/xbd_sinks"
+    val ckpt = s"$scratch/xbd_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    val tA = "2025-01-01T00:00:01Z INFO [user] alpha"
+    val tB = "2025-01-01T00:00:02Z INFO [user] beta"
+    val tC = "2025-01-01T00:00:03Z INFO [user] gamma"
+    val fileA = Seq(
+      Turn("a1", 0, "user", tA, null, ts0),
+      Turn("a2", 0, "user", tB, null, ts0))
+    val fileB = Seq(
+      Turn("b1", 0, "user", tA, null, ts0), // duplicate of batch 0's tA
+      Turn("b2", 0, "user", tC, null, ts0)) // novel
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1, dedupAcrossBatches = true)
+      .awaitTermination()
+
+    val out = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream/batch=0", s"$sinkRoot/stream/batch=1")
+    val dups = out.filter($"sink" === "duplicate")
+      .select($"conv_id").collect().map(_.getString(0)).toSeq
+    assert(dups == Seq("b1"),
+      s"only the cross-batch duplicate re-routes, got $dups")
+    val users = out.filter($"sink" === "user")
+      .select($"conv_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(users == Seq("a1", "a2", "b2"),
+      s"novel rows keep their content sink, got $users")
+    // snapshot store: full seen-set per batch, strictly-before reads
+    val fp1 = spark.read.parquet(
+      s"${Streaming.StreamFingerprints.dir(sinkRoot)}/batch=1")
+    assert(fp1.count() == 3L, "snapshot 1 = {tA, tB, tC}")
+    assert(Streaming.StreamFingerprints.read(spark, sinkRoot, 1).count() == 2L,
+      "a batch consults only STRICTLY earlier snapshots")
+  }
+
   test("Carry.read takes the latest snapshot STRICTLY BEFORE the batch " +
       "(a retried batch never reads its own crashed partial state)") {
     val root = s"$scratch/carry_unit"
