@@ -949,6 +949,33 @@ object Queries {
        SELECT sink, count(*) AS n_turns FROM c2 GROUP BY sink ORDER BY sink"""
   }
 
+  /** Incremental MinHash-LSH (d21): candidate pairs for NEWLY ingested
+    * documents (doc_id >= 250) against a persisted band state built
+    * from the prior corpus (doc_id < 250) — `Dedup.incrementalLshPairs`
+    * touches the stored side only through one (band, sig) join, never
+    * re-shingling it. The result is EXACTLY the full-corpus pair set
+    * restricted to pairs involving a new doc, which is precisely what
+    * the oracle replays (the shared lshPairCtes chain + the
+    * restriction) — so the incremental path can never drift from the
+    * batch path.
+    */
+  def d21(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def bandsOf(df: DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
+    val stored = bandsOf(docs.filter(col("doc_id") < 250))
+    val incoming = bandsOf(docs.filter(col("doc_id") >= 250))
+    Dedup.incrementalLshPairs(stored, incoming, "doc_id")
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d21Sql: String =
+    s"""WITH ${lshPairCtes()}
+       SELECT id_a, id_b FROM pairs
+       WHERE id_a >= 250 OR id_b >= 250 ORDER BY id_a, id_b"""
+
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1901,6 +1928,27 @@ object Queries {
          CAST(16 + (range * 40503) % 496 AS INT) AS height
        FROM range(64) ORDER BY media_id"""
 
+  /** REAL WAV/RIFF header decode (m03): structurally valid WAVE
+    * payloads (junk LIST chunk + word-alignment pad BEFORE `fmt `, so
+    * the chunk walk is proven) carry closed-form channels/rate/data
+    * size; the distributed parse (Multimodal.AudioCodec) recovers them
+    * and derives duration from the byte rate. Oracle = closed-form
+    * recompute; OpsSpec pins the canonical 44-byte WAV layout.
+    */
+  def m03(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.audioMeta(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m03Sql: String =
+    """SELECT range AS media_id,
+         CAST(1 + range % 2 AS INT) AS channels,
+         CAST(8000 + 1000 * (range % 37) AS INT) AS sample_rate,
+         16 AS bits,
+         CAST(floor((256 + (range * 2654435761) % 1024) * 1000.0 /
+              ((8000 + 1000 * (range % 37)) * (1 + range % 2) * 2))
+              AS BIGINT) AS duration_ms
+       FROM range(64) ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1948,6 +1996,7 @@ object Queries {
     "d18_neardup_clusters" -> (d18 _),
     "d19_curated_corpus" -> (d19 _),
     "d20_crosscycle_dedup" -> (d20 _),
+    "d21_incremental_lsh" -> (d21 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -1963,7 +2012,8 @@ object Queries {
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
     "m01_multimodal_features" -> (m01 _),
-    "m02_image_header_decode" -> (m02 _)
+    "m02_image_header_decode" -> (m02 _),
+    "m03_audio_header_decode" -> (m03 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2011,6 +2061,7 @@ object Queries {
     "d18_neardup_clusters" -> d18Sql,
     "d19_curated_corpus" -> d19Sql,
     "d20_crosscycle_dedup" -> d20Sql,
+    "d21_incremental_lsh" -> d21Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
@@ -2025,6 +2076,7 @@ object Queries {
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "m02_image_header_decode" -> m02Sql,
+    "m03_audio_header_decode" -> m03Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

@@ -401,6 +401,71 @@ object Dedup {
     else Some(spark.read.parquet(dirs: _*).distinct())
   }
 
+  /** ---- Incremental MinHash-LSH (new docs against a persisted band
+    * state — no re-shingling of the existing corpus) ----------------
+    *
+    * The persisted state is the BANDS table (band, sig, id): ~16 bytes
+    * a row x numBands rows per doc, the only thing candidate
+    * generation ever needs. A new ingest batch shingles ONLY its own
+    * documents, joins its bands against the stored ones, and appends —
+    * the 100 TB corpus is never re-read. Same namespace discipline as
+    * `_pairs` (per-batch dirs, committed-batch gating).
+    */
+  def bandsDir(root: String, corpusId: String): String =
+    s"$root/_bands/$corpusId"
+
+  def writeBands(bands: DataFrame, root: String, corpusId: String,
+      batchId: String, idCol: String): String = {
+    val dest = s"${bandsDir(root, corpusId)}/batch=$batchId"
+    bands.select(col("band"), col("sig"), col(idCol))
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  def readBands(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, committed: Set[String]): Option[DataFrame] = {
+    val dirs = graft.pipeline.Sinks.partitionCommitted(
+      graft.pipeline.Sinks.batchDirs(spark, bandsDir(root, corpusId)),
+      committed)._1
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).distinct())
+  }
+
+  /** Candidate pairs INVOLVING at least one new document, EXACTLY equal
+    * to the full-corpus derivation restricted to such pairs (proof
+    * sketch: a pair with a new member can only live in a bucket with
+    * n_new > 0; within those buckets [[lshCandidatePairs]] recomputes
+    * the identical sizes and skew cap over the union, so the pair set
+    * and cap behavior match the from-scratch run bucket for bucket —
+    * OpsSpec asserts the equality, and d21's oracle replays the full
+    * derivation with the restriction).
+    *
+    * Cost shape: the stored side is touched ONLY by one (band, sig)
+    * hash join + the per-bucket aggregate — never re-shingled, never
+    * re-hashed; at scale, store the bands table bucketed by (band,
+    * sig) and the join co-partitions.
+    */
+  def incrementalLshPairs(storedBands: DataFrame, newBands: DataFrame,
+      idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val all = storedBands.select(col("band"), col("sig"), col(idCol))
+      .unionByName(newBands.select(col("band"), col("sig"), col(idCol)))
+    // buckets that gained a new member — the only place a new pair can
+    // appear; everything else is pruned before any pair expansion
+    val touched = newBands.select(col("band"), col("sig")).distinct()
+    val eligible = all.join(touched, Seq("band", "sig"), "left_semi")
+    val pairs = lshCandidatePairs(eligible, idCol, maxBucket)
+    val newIds = newBands.select(col(idCol)).distinct()
+    // keep pairs with a new member on EITHER side (old-old pairs inside
+    // a touched bucket already exist in the prior state's pair set)
+    pairs.join(newIds.select(col(idCol).as("id_a")), Seq("id_a"),
+        "left_semi")
+      .unionByName(
+        pairs.join(newIds.select(col(idCol).as("id_b")), Seq("id_b"),
+            "left_semi")
+          .select(col("id_a"), col("id_b")))
+      .distinct()
+  }
+
   /** Resolve clusters from a pair set and PERSIST the labels under
     * `<root>/_clusters/<corpusId>/batch=<id>` — the production shape:
     * downstream consumers (curated-corpus builds, survivor joins) read

@@ -165,6 +165,93 @@ object Multimodal {
     }
   }
 
+  /** REAL audio-container header decode — RIFF/WAVE chunk walk, pure
+    * JVM: channels / sample rate / bit depth from the `fmt ` chunk and
+    * the payload byte count from the `data` chunk header (duration =
+    * data / byte-rate — no sample decoding needed, exactly how
+    * production audio pipelines size their inputs). Chunk order is NOT
+    * assumed (LIST/INFO chunks before `fmt ` are routine) and chunks
+    * are word-aligned per the RIFF spec. Corrupt blobs classify as
+    * undecodable, never throw.
+    */
+  object AudioCodec {
+
+    def decodeWav(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (p == null || p.length < 12) return None
+      def ascii(o: Int) = new String(p, o, 4, "US-ASCII")
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+          ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[Long] = None
+      while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = ascii(i)
+        val size = le32(i + 4)
+        if (id == "fmt " && i + 24 <= p.length)
+          fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+        else if (id == "data") data = Some(size)
+        i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+        if (size < 0 || i < 0) return None
+      }
+      for ((ch, rate, bits) <- fmt; d <- data
+           if ch > 0 && rate > 0 && bits > 0)
+        yield (ch, rate, bits, d)
+    }
+  }
+
+  /** Deterministic REAL WAV payloads for the m03 oracle: closed-form
+    * channels/rate/data-size (any engine recomputes them), a junk LIST
+    * chunk BEFORE `fmt ` so the parse proves it walks chunks, seeded
+    * noise as the sample data.
+    */
+  def synthWavParams(id: Long): (Int, Int, Int, Int) = {
+    val ch = 1 + (id % 2).toInt
+    val rate = 8000 + 1000 * (id % 37).toInt
+    val dataBytes = 256 + Math.floorMod(id * 2654435761L, 1024L).toInt
+    (ch, rate, 16, dataBytes)
+  }
+
+  def synthWavPayload(id: Long): Array[Byte] = {
+    val (ch, rate, bits, dataBytes) = synthWavParams(id)
+    val noise = new Array[Byte](dataBytes)
+    new java.util.Random(id).nextBytes(noise)
+    val junk = "graftINFO".getBytes("US-ASCII") // odd length: exercises
+    val bb = java.nio.ByteBuffer.allocate(64 + junk.length + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + junk.length + 1 + dataBytes) // riff size (approx ok)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk)
+    bb.put(0.toByte) // the word-alignment pad the walker must honor
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(ch.toShort) // PCM, channels
+    bb.putInt(rate).putInt(rate * ch * bits / 8) // rate, byte rate
+    bb.putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.put(noise)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Distributed WAV metadata extraction — the m03 query body (same
+    * shape as [[imageDims]]: narrow map, blobs never shuffled).
+    */
+  def audioMeta(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        AudioCodec.decodeWav(synthWavPayload(id)) match {
+          case Some((ch, rate, bits, dataBytes)) =>
+            (id, ch, rate, bits,
+              dataBytes * 1000L / (rate.toLong * ch * bits / 8))
+          case None => (id, -1, -1, -1, -1L)
+        }
+      }
+      .toDF("media_id", "channels", "sample_rate", "bits", "duration_ms")
+  }
+
   /** Deterministic REAL image payloads for the m02 oracle: structurally
     * valid PNG/JPEG headers (by parity of id) carrying closed-form
     * dimensions any engine can recompute —

@@ -451,6 +451,87 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH == full derivation restricted to new-involving " +
+      "pairs; persisted bands round-trip with committed-batch gating") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
+    val split = 250L
+    val stored = bandsOf(docs.filter($"doc_id" < split))
+    val incoming = bandsOf(docs.filter($"doc_id" >= split))
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val full = pairSet(
+      Dedup.lshCandidatePairs(bandsOf(docs), "doc_id"))
+    val fullNewInvolving = full.filter { case (a, b) =>
+      a.toLong >= split || b.toLong >= split }
+    val incremental = pairSet(
+      Dedup.incrementalLshPairs(stored, incoming, "doc_id"))
+    assert(incremental == fullNewInvolving,
+      s"incremental must equal the full derivation's new-involving " +
+        s"subset (inc=${incremental.size} full=${fullNewInvolving.size})")
+    assert(fullNewInvolving.nonEmpty, "fixture sanity: new pairs exist")
+
+    // persisted band state: write old bands as a committed batch plus an
+    // orphan; the read-back union drives the same incremental result
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bands").toString
+    Dedup.writeBands(stored, root, "c1", "b1", "doc_id")
+    Dedup.writeBands(incoming.limit(3), root, "c1", "orphan", "doc_id")
+    assert(Dedup.readBands(spark, root, "c1", Set.empty).isEmpty)
+    val storedBack = Dedup.readBands(spark, root, "c1", Set("b1")).get
+    assert(pairSet(Dedup.incrementalLshPairs(storedBack, incoming,
+      "doc_id")) == fullNewInvolving,
+      "round-tripped bands must drive the identical incremental result")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("AudioCodec parses the canonical 44-byte WAV layout and walks " +
+      "chunk order; rejects garbage without throwing") {
+    // the classic header every encoder emits: RIFF/WAVE, fmt (PCM,
+    // stereo, 44100 Hz, 16-bit), data with 4 payload bytes
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(2).putInt(44100).putInt(44100 * 2 * 2)
+    bb.putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+    bb.putInt(0xCAFEBABE)
+    val canonical = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(Multimodal.AudioCodec.decodeWav(canonical)
+      .contains((2, 44100, 16, 4L)))
+
+    // data BEFORE fmt (legal RIFF; some encoders emit it) still parses
+    val bb2 = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put("RIFF".getBytes("US-ASCII")).putInt(48)
+    bb2.put("WAVE".getBytes("US-ASCII"))
+    bb2.put("data".getBytes("US-ASCII")).putInt(2).putShort(7)
+    bb2.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb2.putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
+    bb2.putShort(2).putShort(16)
+    val dataFirst = java.util.Arrays.copyOf(bb2.array(), bb2.position())
+    assert(Multimodal.AudioCodec.decodeWav(dataFirst)
+      .contains((1, 8000, 16, 2L)))
+
+    assert(Multimodal.AudioCodec.decodeWav(null).isEmpty)
+    assert(Multimodal.AudioCodec.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.AudioCodec.decodeWav(
+      "RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty, "not a WAVE")
+    assert(Multimodal.AudioCodec.decodeWav(canonical.take(20)).isEmpty,
+      "truncated before fmt/data")
+    // synthesized payloads round-trip their closed forms
+    (0L until 32L).foreach { id =>
+      val (ch, rate, bits, dataBytes) = Multimodal.synthWavParams(id)
+      assert(Multimodal.AudioCodec.decodeWav(
+        Multimodal.synthWavPayload(id))
+        .contains((ch, rate, bits, dataBytes.toLong)), s"id=$id")
+    }
+  }
+
   test("resolveClusters (d18): multi-hop pairs fold into one component " +
       "with the min-id survivor; disjoint clusters stay disjoint") {
     // A~B and B~C but A!~C (the transitive case LSH pair output
