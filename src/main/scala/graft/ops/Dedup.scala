@@ -483,6 +483,36 @@ object Dedup {
     dest
   }
 
+  /** Incremental cluster maintenance: fold NEW pairs (e.g.
+    * [[incrementalLshPairs]] output) into an existing resolved label
+    * table without re-running propagation over the historical pair
+    * set. A label table is a CONNECTIVITY-PRESERVING contraction of
+    * its pair graph (every member is connected to its cluster min by
+    * the star edge (id, cluster_id)), so components of
+    * (star edges ∪ new pairs) equal components of
+    * (original pairs ∪ new pairs) — OpsSpec asserts the equality
+    * against a from-scratch resolution. Cost: propagation over
+    * |labels| + |newPairs| edges, independent of the historical pair
+    * count; stars have diameter ≤ 2, so the pointer-jumping loop
+    * converges in a handful of rounds.
+    *
+    * Note for LSH callers: feed labels resolved from the SAME pair
+    * semantics the new pairs extend. The skew cap can drop a bucket
+    * that GROWS past `maxBucket` between increments — that bucket's
+    * pairs vanish from a from-scratch run but persist in the old
+    * labels (merging never un-merges); [[lshOversizedBuckets]] reports
+    * exactly those buckets.
+    */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 20): Resolution =
+    resolveClustersIter(
+      labels.filter(!col("keep"))
+        .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b")))
+        .unionByName(labels.filter(col("keep"))
+          .select(col("id").as("id_a"), col("id").as("id_b"))),
+      maxIters)
+
   /** Drop near-duplicate non-survivors given a (possibly persisted)
     * pair set: resolve clusters, anti-join the non-survivors away.
     * `labels` may instead be a pre-resolved label table (e.g. read

@@ -609,6 +609,35 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("mergeClusters: folding new pairs into resolved labels equals " +
+      "from-scratch resolution over the union, across seeded random " +
+      "splits (incl. cross-component merges and empty halves)") {
+    val rng = new scala.util.Random(7)
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+        .toMap
+    for (trial <- 0 until 10) {
+      val n = 4 + rng.nextInt(10)
+      val pairs = Seq.fill(6 + rng.nextInt(14)) {
+        (f"n${rng.nextInt(n)}%02d", f"n${rng.nextInt(n)}%02d")
+      }.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val cut = rng.nextInt(pairs.size + 1) // 0 and size are legal
+        val (h1, h2) = pairs.splitAt(cut)
+        val full = Dedup.resolveClustersIter(pairs.toDF("id_a", "id_b"))
+        val base = Dedup.resolveClustersIter(h1.toDF("id_a", "id_b"))
+        val merged = Dedup.mergeClusters(base.labels,
+          h2.toDF("id_a", "id_b"))
+        assert(merged.converged, s"trial $trial must converge")
+        assert(labelMap(merged.labels) == labelMap(full.labels),
+          s"trial $trial: merge(resolve(h1), h2) must equal " +
+            s"resolve(all) [cut=$cut pairs=$pairs]")
+        Seq(full, base, merged).foreach(_.release())
+      }
+    }
+  }
+
   test("resolveClusters bounds iterations and over-segments (never " +
       "over-merges) when the cap fires") {
     // a diameter-7 chain: 0-1-2-...-7
