@@ -586,18 +586,27 @@ object Dedup {
     * so the join co-partitions. `seenFps` is distinct'd here so a
     * duplicated store row can never fan out the probe side.
     */
+  /** The fingerprint column [[reRouteSeen]] can retain (keepFp=true) so
+    * the store write side (Sinks.writeFingerprints / the streaming
+    * snapshot-out) reuses the ALREADY-computed hash instead of paying a
+    * second md5+normalization pass over every row's text. Callers that
+    * keep it must drop it before any user-facing write.
+    */
+  val fpColName = "_fp"
+
   def reRouteSeen(routed: DataFrame, seenFps: DataFrame,
       contentSinks: Seq[String], dupSink: String,
-      textCol: String = "text"): DataFrame = {
-    val seen = seenFps.select(col("fp").as("_fp")).distinct()
+      textCol: String = "text", keepFp: Boolean = false): DataFrame = {
+    val seen = seenFps.select(col("fp").as(fpColName)).distinct()
       .withColumn("_seen", lit(true))
-    routed
-      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
-      .join(seen, Seq("_fp"), "left")
+    val out = routed
+      .withColumn(fpColName, TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq(fpColName), "left")
       .withColumn("sink",
         when(col("_seen") && col("sink").isin(contentSinks: _*),
           lit(dupSink)).otherwise(col("sink")))
-      .drop("_fp", "_seen")
+      .drop("_seen")
+    if (keepFp) out else out.drop(fpColName)
   }
 
   /** 16-bit SimHash from the md5 hex digits of each token: bit i of the

@@ -153,7 +153,11 @@ object Multimodal {
           val isSof = m >= 0xc0 && m <= 0xcf &&
             m != 0xc4 && m != 0xc8 && m != 0xcc
           if (isSof) {
-            if (j + 8 >= p.length) return None
+            // a REAL frame header is >= 8 bytes long (len itself +
+            // precision + height + width + component count); a corrupt
+            // SOF declaring less must classify as undecodable, not
+            // read the next segment's bytes as dimensions
+            if (len < 8 || j + 8 >= p.length) return None
             val h = be16(p, j + 5)
             val w = be16(p, j + 7)
             return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
@@ -189,12 +193,18 @@ object Multimodal {
       var data: Option[Long] = None
       while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
         val id = ascii(i)
-        val size = le32(i + 4)
+        val size = le32(i + 4) // unsigned 32-bit, as Long: 0..2^32-1
         if (id == "fmt " && i + 24 <= p.length)
           fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
         else if (id == "data") data = Some(size)
-        i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
-        if (size < 0 || i < 0) return None
+        // advance in LONG arithmetic: a corrupt size near 2^32 truncated
+        // to a small negative Int would otherwise advance by <= 0 and
+        // hang the task forever (a hung executor is worse than a throw —
+        // no retry ever fires). adv >= 8 always, so progress is
+        // guaranteed; a next-offset beyond the payload just ends the
+        // walk with whatever fmt/data were already captured.
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = if (next > p.length.toLong) p.length else next.toInt
       }
       for ((ch, rate, bits) <- fmt; d <- data
            if ch > 0 && rate > 0 && bits > 0)

@@ -331,8 +331,12 @@ object Main {
     if (!cfg.dedupAcrossCycles) routed
     else Sinks.readFingerprints(spark, cfg.sinkRoot,
         Lineage.checkpointId(cfg), committed)
+      // keepFp: the computed hash column rides along (hidden from every
+      // user-facing write — publishBatch drops it before staging) so
+      // the fingerprint-store write reuses it instead of re-hashing
+      // the batch's text
       .map(graft.ops.Dedup.reRouteSeen(routed, _,
-        Route.contentSinks, Route.duplicateSink))
+        Route.contentSinks, Route.duplicateSink, keepFp = true))
       .getOrElse(routed)
 
   /** The publish discipline every batch (normal or re-driven) follows:
@@ -352,7 +356,9 @@ object Main {
       routed: org.apache.spark.sql.DataFrame,
       commits: Seq[Lineage.Commit],
       beforeCommit: () => Map[String, Timestamp]): Seq[String] = {
-    Sinks.writeStaged(routed, cfg.sinkRoot, batchId, cfg.saltBuckets)
+    // the dedup stage's internal fp column never reaches a sink file
+    Sinks.writeStaged(routed.drop(graft.ops.Dedup.fpColName),
+      cfg.sinkRoot, batchId, cfg.saltBuckets)
     val published = Sinks.publish(spark, cfg.sinkRoot, batchId)
     if (cfg.backupAddPrefix != null && cfg.backupAddPrefix.nonEmpty)
       Sinks.archive(routed, cfg.sinkRoot, batchId, cfg.backupAddPrefix,

@@ -169,14 +169,21 @@ object Sinks {
   /** Record the batch's content-sink fingerprints (the dedup write
     * side). Distinct per batch — within-batch multiplicity is not the
     * store's business; one row per fp bounds the store by corpus
-    * cardinality, not delivery count.
+    * cardinality, not delivery count. When the dedup stage already
+    * computed the fingerprint column (Dedup.fpColName, kept by
+    * reRouteSeen(keepFp=true)), it is REUSED — no second
+    * md5+normalization pass over the batch's text.
     */
   def writeFingerprints(routed: DataFrame, root: String,
       checkpointId: String, batchId: String,
       contentSinks: Seq[String]): String = {
     val dest = s"${fingerprintsDir(root, checkpointId)}/batch=$batchId"
+    val fp =
+      if (routed.columns.contains(graft.ops.Dedup.fpColName))
+        col(graft.ops.Dedup.fpColName)
+      else graft.ops.TextAnalysis.fingerprint(col("text"))
     routed.filter(col("sink").isin(contentSinks: _*))
-      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(fp.as("fp"))
       .distinct()
       .write.mode("overwrite").parquet(dest)
     dest
@@ -200,15 +207,32 @@ object Sinks {
     */
   def compactFingerprints(spark: SparkSession, root: String,
       checkpointId: String, committedBatches: => Set[String],
-      maxDirs: Int = 64): Boolean = {
-    val all = batchDirs(spark, fingerprintsDir(root, checkpointId))
+      maxDirs: Int = 64): Boolean =
+    compactNamespace(spark, fingerprintsDir(root, checkpointId),
+      committedBatches, maxDirs, mergeSchema = false)
+
+  /** THE fold-committed-dirs-into-one-snapshot discipline shared by the
+    * violations and fingerprint namespaces (compactDeferred keeps its
+    * own body — its ledger interplay is genuinely different): compacted
+    * snapshot written FIRST (coexistence with the inputs only
+    * duplicates rows, which every reader's distinct/anti-join absorbs),
+    * only pre-listed dirs deleted, orphans deleted as crash debris
+    * (single writer per checkpoint identity; every call site runs
+    * post-commit, so nothing is in-flight). One body so a future fix to
+    * the ordering/orphan rules cannot silently diverge the namespaces.
+    */
+  private def compactNamespace(spark: SparkSession, nsDir: String,
+      committedBatches: => Set[String], maxDirs: Int,
+      mergeSchema: Boolean): Boolean = {
+    val all = batchDirs(spark, nsDir)
     if (all.length <= maxDirs) return false
     val committed = committedBatches
     val (dirs, orphans) = partitionCommitted(all, committed)
     if (dirs.nonEmpty)
-      spark.read.parquet(dirs: _*).distinct()
-        .write.mode("overwrite").parquet(
-          s"${fingerprintsDir(root, checkpointId)}/batch=compacted-${System.nanoTime()}")
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(dirs: _*).distinct()
+        .write.mode("overwrite")
+        .parquet(s"$nsDir/batch=compacted-${System.nanoTime()}")
     val conf = spark.sparkContext.hadoopConfiguration
     (dirs ++ orphans).foreach { d =>
       val p = new Path(d)
@@ -327,23 +351,9 @@ object Sinks {
     */
   def compactViolations(spark: SparkSession, root: String,
       checkpointId: String, committedBatches: => Set[String],
-      maxDirs: Int = 64): Boolean = {
-    val all = batchDirs(spark, violationsDir(root, checkpointId))
-    if (all.length <= maxDirs) return false
-    val committed = committedBatches
-    val (dirs, orphans) = partitionCommitted(all, committed)
-    if (dirs.nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-        .distinct()
-        .write.mode("overwrite").parquet(
-          s"${violationsDir(root, checkpointId)}/batch=compacted-${System.nanoTime()}")
-    val conf = spark.sparkContext.hadoopConfiguration
-    (dirs ++ orphans).foreach { d =>
-      val p = new Path(d)
-      p.getFileSystem(conf).delete(p, true)
-    }
-    true
-  }
+      maxDirs: Int = 64): Boolean =
+    compactNamespace(spark, violationsDir(root, checkpointId),
+      committedBatches, maxDirs, mergeSchema = true)
 
   /** S16 `delete` analog (s3.rb:181-183): after a successful commit, the
     * batch's consumed (conv_id, day) set is recorded in a per-batch

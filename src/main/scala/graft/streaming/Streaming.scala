@@ -258,15 +258,25 @@ object Streaming {
         // EARLIER batch delivered to a content sink re-route to the
         // `duplicate` sink. The strictly-before snapshot read makes a
         // retried batch route identically to its first attempt.
-        val published =
-          if (!dedupAcrossBatches) adjusted
-          else graft.ops.Dedup.reRouteSeen(
-            adjusted, StreamFingerprints.read(sess, sinkRoot, batchId),
-            Route.contentSinks, Route.duplicateSink).cache()
+        // ONE strictly-before snapshot read serves both the re-route
+        // join and the snapshot-out union (the seen-set grows with
+        // corpus cardinality — scanning it twice per batch is waste)
+        val seenFps =
+          if (dedupAcrossBatches)
+            Some(StreamFingerprints.read(sess, sinkRoot, batchId))
+          else None
+        val published = seenFps match {
+          case None => adjusted
+          // keepFp: the join's hash column is reused by the
+          // snapshot-out below; dropped before the sink write
+          case Some(seen) => graft.ops.Dedup.reRouteSeen(
+            adjusted, seen, Route.contentSinks, Route.duplicateSink,
+            keepFp = true).cache()
+        }
         // per-batch dir + overwrite => a retried micro-batch republishes
         // the same directory idempotently (no duplicate rows), the same
         // discipline as the batch pipeline's staged publish (Sinks).
-        published
+        published.drop(graft.ops.Dedup.fpColName)
           .repartition(col("conv_id"))
           .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
           .write.mode("overwrite").partitionBy("sink")
@@ -275,14 +285,12 @@ object Streaming {
         // fps (duplicate-sink rows are already in the previous set by
         // construction; distinct bounds the snapshot by corpus
         // cardinality)
-        if (dedupAcrossBatches) {
+        seenFps.foreach { seen =>
           val newFps = published
             .filter(col("sink").isin(Route.contentSinks: _*))
-            .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+            .select(col(graft.ops.Dedup.fpColName).as("fp"))
           StreamFingerprints.write(
-            StreamFingerprints.read(sess, sinkRoot, batchId)
-              .unionByName(newFps).distinct(),
-            sinkRoot, batchId)
+            seen.unionByName(newFps).distinct(), sinkRoot, batchId)
         }
         // carry-out: the conv's state AT ITS LAST ROW of this batch
         // (header/session are running values, so max_by(., turn_idx) is

@@ -439,6 +439,12 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.decodeDims(b(0x89, 0x50)).isEmpty)
     assert(Multimodal.ImageCodec.decodeDims(
       b(0xff, 0xd8, 0xff, 0xd9)).isEmpty, "EOI before any SOF")
+    // a corrupt SOF declaring an impossible length must classify as
+    // undecodable, not read the NEXT segment's bytes as dimensions
+    assert(Multimodal.ImageCodec.decodeDims(
+      b(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02,
+        0x08, 0x01, 0xe0, 0x02, 0x80, 0x03)).isEmpty,
+      "undersized SOF length must not yield garbage dims")
     assert(Multimodal.ImageCodec.decodeDims(
       png1x1.take(20)).isEmpty, "truncated IHDR")
     // every synthesized payload round-trips to its closed-form dims
@@ -516,6 +522,19 @@ class OpsSpec extends AnyFunSuite {
     val dataFirst = java.util.Arrays.copyOf(bb2.array(), bb2.position())
     assert(Multimodal.AudioCodec.decodeWav(dataFirst)
       .contains((1, 8000, 16, 2L)))
+
+    // adversarial chunk size near 2^32: Int truncation would advance
+    // the walk by ZERO bytes and hang the executor task forever — the
+    // Long-arithmetic advance must terminate promptly with None
+    val bb3 = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb3.put("RIFF".getBytes("US-ASCII")).putInt(16)
+    bb3.put("WAVE".getBytes("US-ASCII"))
+    bb3.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    bb3.putInt(0)
+    assert(Multimodal.AudioCodec.decodeWav(
+      java.util.Arrays.copyOf(bb3.array(), bb3.position())).isEmpty,
+      "corrupt huge chunk size must terminate, not loop")
 
     assert(Multimodal.AudioCodec.decodeWav(null).isEmpty)
     assert(Multimodal.AudioCodec.decodeWav(Array.empty[Byte]).isEmpty)
