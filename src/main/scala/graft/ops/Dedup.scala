@@ -475,8 +475,23 @@ object Dedup {
     * deterministic-release path for [[Resolution]]).
     */
   def writeClusters(pairs: DataFrame, root: String, corpusId: String,
-      batchId: String): String = {
-    val res = resolveClustersIter(pairs)
+      batchId: String, maxIters: Int = 20,
+      allowOverSegmented: Boolean = false): String = {
+    val res = resolveClustersIter(pairs, maxIters)
+    // fail CLOSED on non-convergence: a persisted label table is read
+    // as authoritative by every downstream consumer (dropNonSurvivors,
+    // mergeClusters, curated builds), and an over-segmentation marker
+    // that lives only in driver stderr is a silent cap the moment the
+    // table outlives the log. The operator raises maxIters, or
+    // explicitly opts into persisting the (never-over-merged, merely
+    // conservative) partial labels.
+    if (!res.converged && !allowOverSegmented) {
+      res.release()
+      throw new IllegalStateException(
+        s"cluster resolution did not converge within $maxIters " +
+          "iterations; the labels are an over-segmentation — raise " +
+          "maxIters or pass allowOverSegmented=true to persist anyway")
+    }
     val dest = s"$root/_clusters/$corpusId/batch=$batchId"
     res.labels.write.mode("overwrite").parquet(dest)
     res.release()
@@ -570,6 +585,14 @@ object Dedup {
       .join(seenFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
 
+  /** The fingerprint column [[reRouteSeen]] can retain (keepFp=true) so
+    * the store write side (Sinks.writeFingerprints / the streaming
+    * snapshot-out) reuses the ALREADY-computed hash instead of paying a
+    * second md5+normalization pass over every row's text. Callers that
+    * keep it must drop it before any user-facing write.
+    */
+  val fpColName = "_fp"
+
   /** [[dropSeen]]'s pipeline-integrated sibling: instead of DROPPING a
     * row whose fingerprint an earlier cycle already published, RE-ROUTE
     * it to `dupSink` — the engine never silently discards data, so a
@@ -586,14 +609,6 @@ object Dedup {
     * so the join co-partitions. `seenFps` is distinct'd here so a
     * duplicated store row can never fan out the probe side.
     */
-  /** The fingerprint column [[reRouteSeen]] can retain (keepFp=true) so
-    * the store write side (Sinks.writeFingerprints / the streaming
-    * snapshot-out) reuses the ALREADY-computed hash instead of paying a
-    * second md5+normalization pass over every row's text. Callers that
-    * keep it must drop it before any user-facing write.
-    */
-  val fpColName = "_fp"
-
   def reRouteSeen(routed: DataFrame, seenFps: DataFrame,
       contentSinks: Seq[String], dupSink: String,
       textCol: String = "text", keepFp: Boolean = false): DataFrame = {

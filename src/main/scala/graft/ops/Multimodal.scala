@@ -143,6 +143,7 @@ object Multimodal {
         if (u8(p, i) != 0xff) return None // lost marker alignment
         var j = i
         while (j + 1 < p.length && u8(p, j + 1) == 0xff) j += 1 // fill
+        if (j + 1 >= p.length) return None // cut mid fill-run
         val m = u8(p, j + 1)
         if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
         else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i = j + 2

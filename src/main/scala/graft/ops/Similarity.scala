@@ -141,23 +141,35 @@ object Similarity {
     require(k >= 1, "need at least one seed")
     def seedOf(r: org.apache.spark.sql.Row): (Long, Seq[Double]) =
       (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
-    val first = df
+    // zero-norm vectors (padding / failed-encode rows) have no cosine
+    // geometry: their distance to ANY seed is 0/0 = NaN, which Spark
+    // sorts ABOVE every real distance — an un-filtered zero vector
+    // would hijack the argmax deterministically (and diverge from a
+    // SQL oracle, whose zero-division semantics differ). They are
+    // excluded from seed CANDIDACY only; assignment of such rows is
+    // the caller's policy.
+    val cand = df.filter(norm(col(vecCol)) > 0)
+    val firstRows = cand
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .select(col(idCol).cast("long"), col(vecCol))
-      .limit(1).collect().map(seedOf).head
-    var seeds = Vector(first)
+      .limit(1).collect()
+    if (firstRows.isEmpty) return Seq.empty // no seedable vectors
+    var seeds = Vector(seedOf(firstRows.head))
     while (seeds.size < k) {
       val dmin = seeds.map { case (_, sv) =>
         round(lit(1.0) - cosineWithLiteral(col(vecCol), sv), roundDigits)
       }.reduce(least(_, _))
-      val next = df
+      val next = cand
         .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
           dmin.as("_d"))
         .filter(!col("_id").isin(seeds.map(_._1): _*))
         .orderBy(col("_d").desc, col("_id"))
-        .limit(1).collect().head
-      seeds = seeds :+ ((next.getLong(0),
-        next.getSeq[Float](1).map(_.toDouble)))
+        .limit(1).collect()
+      // corpus exhausted before k: every seedable point IS a seed —
+      // return what exists rather than crash (callers seeding from a
+      // small filtered sample hit this legitimately)
+      if (next.isEmpty) return seeds
+      seeds = seeds :+ seedOf(next.head)
     }
     seeds
   }

@@ -399,6 +399,41 @@ class OpsSpec extends AnyFunSuite {
       s"kmeans++ recall $rKpp must be >= id-ordered recall $rId")
     assert(rKpp == 1.0,
       s"one seed per cluster + nprobe=1 must give full recall, got $rKpp")
+
+    // degenerate-input surface: exhausted corpus returns the seeds that
+    // exist; an all-zero or empty frame returns none; a zero-norm
+    // vector never hijacks the D^2 argmax (its distance is NaN)
+    val tiny = rows.take(3).toDF("vec_id", "embedding")
+    assert(Similarity.kmeansPlusPlusSeeds(tiny, "vec_id", "embedding", 8)
+      .size == 3, "k beyond the corpus yields every seedable point")
+    val withZero = (rows.take(6) :+ (999L, Seq.fill(dims)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val zs = Similarity.kmeansPlusPlusSeeds(withZero, "vec_id",
+      "embedding", 3)
+    assert(!zs.map(_._1).contains(999L),
+      s"zero-norm vectors must not be chosen as seeds, got ${zs.map(_._1)}")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kmeansPlusPlusSeeds(empty, "vec_id", "embedding", 2)
+      .isEmpty)
+  }
+
+  test("writeClusters fails CLOSED on non-convergence unless the " +
+      "operator opts into persisting the over-segmentation") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "wclust").toString
+    val chain = (0 until 200).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.writeClusters(chain, root, "c1", "bad", maxIters = 2)
+    }
+    assert(ex.getMessage.contains("over-segmentation"))
+    assert(!new java.io.File(s"$root/_clusters/c1/batch=bad").exists(),
+      "nothing may be persisted on the refused path")
+    val dest = Dedup.writeClusters(chain, root, "c1", "ok",
+      maxIters = 2, allowOverSegmented = true)
+    assert(spark.read.parquet(dest).count() == 201L,
+      "explicit opt-in persists the partial labels")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("ImageCodec parses REAL spec fixtures: a CRC'd 1x1 PNG, a JPEG " +
@@ -434,6 +469,9 @@ class OpsSpec extends AnyFunSuite {
       .contains(("jpeg", 3, 2)))
 
     // rejection surface: never a throw
+    assert(Multimodal.ImageCodec.decodeDims(
+      b(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff)).isEmpty,
+      "a payload cut mid fill-run must classify, not AIOOBE")
     assert(Multimodal.ImageCodec.decodeDims(null).isEmpty)
     assert(Multimodal.ImageCodec.decodeDims(Array.empty[Byte]).isEmpty)
     assert(Multimodal.ImageCodec.decodeDims(b(0x89, 0x50)).isEmpty)
