@@ -184,6 +184,21 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental LSH touches the stored bands only through keyed " +
+      "joins — no cartesian/nested-loop against the corpus-sized side") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.lshBands(
+        graft.ops.Dedup.minhashSignatures(df, "doc_id", "text", 3, 8),
+        "doc_id", 8, 2)
+    val plan = physical(graft.ops.Dedup.incrementalLshPairs(
+      bandsOf(docs.filter($"doc_id" < 250)),
+      bandsOf(docs.filter($"doc_id" >= 250)), "doc_id"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"incremental pairing must stay bucket/key-joined:\n$plan")
+  }
+
   test("d18 cluster resolution: every propagation step is an equi-join " +
       "on the id key — no cartesian/nested-loop, iterations hard-bounded") {
     // label propagation at 10^9 nodes lives or dies on the per-iteration
