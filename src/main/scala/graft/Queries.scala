@@ -663,7 +663,9 @@ object Queries {
 
   val d02Sql: String =
     """SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+            AS BIGINT) AS n_tokens
        FROM documents ORDER BY doc_id"""
 
   /** Quality-score features. */
@@ -678,7 +680,9 @@ object Queries {
   val d03Sql: String =
     """WITH t AS (SELECT doc_id, trim(text) AS tt,
            regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-       SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       SELECT doc_id,
+         CAST(CASE WHEN tt = '' THEN 0 ELSE len(w) END AS BIGINT)
+           AS n_tokens,
          CAST(length(tt) - length(regexp_replace(tt, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
          CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS BIGINT) AS stopword_hits,
          CAST(floor((length(tt) - (len(w) - 1)) * 1000.0 / len(w)) AS BIGINT) AS mean_token_len_x1000,
@@ -745,7 +749,12 @@ object Queries {
        sh AS (SELECT DISTINCT doc_id,
               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
               FROM d, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       -- derived from d (LEFT JOIN), not sh: a doc with < 3 tokens has
+       -- ZERO shingles and no sh row, but its pairs still exist on the
+       -- Spark side (jaccardForPairs emits inter=0, union_=|other|) —
+       -- an inner join here would silently drop them
+       sizes AS (SELECT d.doc_id, count(sh.s) AS n FROM d
+                 LEFT JOIN sh ON sh.doc_id = d.doc_id GROUP BY d.doc_id),
        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM d a JOIN d b ON a.source = b.source
                   AND a.doc_id < b.doc_id),

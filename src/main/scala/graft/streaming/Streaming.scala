@@ -75,25 +75,23 @@ object Streaming {
     * The reference gets the same guarantee from its serial oldest-first
     * listing (s3.rb:166); a parallel engine has to enforce it.
     */
-  object Carry {
-    import org.apache.spark.sql.types._
+  /** The shared full-snapshot store behind [[Carry]] and
+    * [[StreamFingerprints]]: per-batch FULL snapshots under
+    * `<dir>/batch=<id>`; reads take the latest snapshot STRICTLY
+    * BEFORE a batch id (a retried batch never consults its own crashed
+    * partial write — only the committed predecessor); writes overwrite
+    * idempotently and retain this snapshot plus the previous two
+    * (enough for any retry of batchId or batchId+1 to find its
+    * strictly-earlier snapshot) — full snapshots, not deltas, so each
+    * state dir stays O(state), not O(batches). ONE body so the
+    * strictly-before and retention rules cannot drift between stores.
+    */
+  private[streaming] object SnapshotStore {
+    import org.apache.spark.sql.types.StructType
 
-    val schema: StructType = StructType(Seq(
-      StructField("conv_id", StringType),
-      StructField("carry_header", StringType),
-      StructField("carry_fields", StringType),
-      StructField("carry_sessions", LongType),
-      StructField("carry_max_idx", IntegerType)))
-
-    def dir(sinkRoot: String): String = s"$sinkRoot/stream/_carry"
-
-    /** Latest carry snapshot from a batch id STRICTLY BEFORE
-      * `beforeBatch` — a retried batch N must not read its own crashed
-      * partial state, only the committed N-1 snapshot.
-      */
-    def read(spark: SparkSession, sinkRoot: String,
+    def read(spark: SparkSession, dir: String, schema: StructType,
         beforeBatch: Long): DataFrame = {
-      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+      val d = new org.apache.hadoop.fs.Path(dir)
       val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prev =
         if (!fs.exists(d)) None
@@ -104,21 +102,15 @@ object Streaming {
           .filter(_ < beforeBatch)
           .sorted.lastOption
       prev match {
-        case Some(b) => spark.read.schema(schema)
-          .parquet(s"${dir(sinkRoot)}/batch=$b")
+        case Some(b) => spark.read.schema(schema).parquet(s"$dir/batch=$b")
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }
 
-    def write(state: DataFrame, sinkRoot: String, batchId: Long): Unit = {
-      state.write.mode("overwrite")
-        .parquet(s"${dir(sinkRoot)}/batch=$batchId")
-      // retention: keep this snapshot + the previous two (enough for any
-      // retry of batchId or batchId+1 to find its strictly-earlier
-      // snapshot); older ones are superseded — full snapshots, not
-      // deltas — so the state dir stays O(|convs|), not O(batches).
-      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
+    def write(state: DataFrame, dir: String, batchId: Long): Unit = {
+      state.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      val d = new org.apache.hadoop.fs.Path(dir)
       val fs = d.getFileSystem(
         state.sparkSession.sparkContext.hadoopConfiguration)
       fs.listStatus(d).toSeq
@@ -127,6 +119,35 @@ object Streaming {
         .filter(_.getName.stripPrefix("batch=").toLong < batchId - 2)
         .foreach(p => fs.delete(p, true))
     }
+  }
+
+  object Carry {
+    import org.apache.spark.sql.types._
+
+    /** `carry_prev_belongs` is the what=next multiline seam flag: did
+      * the conversation's LAST committed row "belong" under the codec's
+      * pattern? If so, the conv's first row of the NEXT batch continues
+      * the same record instead of starting one (see the seam adjustment
+      * in [[runForeachBatch]]). Snapshots written before this field
+      * existed read as null == false (no seam), which matches their
+      * era's behavior.
+      */
+    val schema: StructType = StructType(Seq(
+      StructField("conv_id", StringType),
+      StructField("carry_header", StringType),
+      StructField("carry_fields", StringType),
+      StructField("carry_sessions", LongType),
+      StructField("carry_max_idx", IntegerType),
+      StructField("carry_prev_belongs", BooleanType)))
+
+    def dir(sinkRoot: String): String = s"$sinkRoot/stream/_carry"
+
+    def read(spark: SparkSession, sinkRoot: String,
+        beforeBatch: Long): DataFrame =
+      SnapshotStore.read(spark, dir(sinkRoot), schema, beforeBatch)
+
+    def write(state: DataFrame, sinkRoot: String, batchId: Long): Unit =
+      SnapshotStore.write(state, dir(sinkRoot), batchId)
   }
 
   /** Streaming fingerprint store for cross-batch dedup — the [[Carry]]
@@ -147,42 +168,12 @@ object Streaming {
 
     def dir(sinkRoot: String): String = s"$sinkRoot/stream/_fingerprints"
 
-    /** Latest snapshot from a batch id STRICTLY BEFORE `beforeBatch`
-      * (empty frame when none exists — first batch or feature newly
-      * enabled).
-      */
     def read(spark: SparkSession, sinkRoot: String,
-        beforeBatch: Long): DataFrame = {
-      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prev =
-        if (!fs.exists(d)) None
-        else fs.listStatus(d).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith("batch="))
-          .map(_.stripPrefix("batch=").toLong)
-          .filter(_ < beforeBatch)
-          .sorted.lastOption
-      prev match {
-        case Some(b) => spark.read.schema(schema)
-          .parquet(s"${dir(sinkRoot)}/batch=$b")
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
-    }
+        beforeBatch: Long): DataFrame =
+      SnapshotStore.read(spark, dir(sinkRoot), schema, beforeBatch)
 
-    def write(merged: DataFrame, sinkRoot: String, batchId: Long): Unit = {
-      merged.write.mode("overwrite")
-        .parquet(s"${dir(sinkRoot)}/batch=$batchId")
-      val d = new org.apache.hadoop.fs.Path(dir(sinkRoot))
-      val fs = d.getFileSystem(
-        merged.sparkSession.sparkContext.hadoopConfiguration)
-      fs.listStatus(d).toSeq
-        .map(_.getPath)
-        .filter(_.getName.startsWith("batch="))
-        .filter(_.getName.stripPrefix("batch=").toLong < batchId - 2)
-        .foreach(p => fs.delete(p, true))
-    }
+    def write(merged: DataFrame, sinkRoot: String, batchId: Long): Unit =
+      SnapshotStore.write(merged, dir(sinkRoot), batchId)
   }
 
   /** Production shape: micro-batch = one reference polling cycle.
@@ -215,7 +206,10 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
-        val prev = Carry.read(sess, sinkRoot, batchId)
+        // cached: the ordering-guard join, the carry-in join and the
+        // carry-out anti-join all consume this snapshot — uncached,
+        // each action would re-scan the carry parquet
+        val prev = Carry.read(sess, sinkRoot, batchId).cache()
         // ordering guard: rows at or below a conversation's committed
         // max turn_idx are out-of-order backfill — quarantine them RAW
         // (their true header/session context predates the carry state;
@@ -238,20 +232,61 @@ object Streaming {
         }
         val turns = flagged.filter(!isLate).drop("carry_max_idx").as[Turn]
         val routed = Pipeline(turns, excludePattern, codec = codec)
+        // the multiline what=next SEAM: that codec's "this row
+        // continues" comes from a LAG over the previous row, so the
+        // first row of a batch cannot see the last row of the previous
+        // one — without the carried flag, every record spanning a
+        // micro-batch boundary would split there (and the seam row,
+        // re-classified as a record start, could even dead-letter),
+        // diverging from the batch pipeline. Only what=next has the
+        // lag; grok/json/what=previous use pure per-row predicates.
+        val seamBelongs: Option[org.apache.spark.sql.Column] = codec match {
+          case Pipeline.MultilineCodec(mc) if mc.what == "next" =>
+            val m = col("text").rlike(mc.pattern)
+            Some(if (mc.negate) !m else m)
+          case _ => None
+        }
         // apply carry-in: headers stick across batches; session ids
         // continue from the running record-start count. Both sides hash
         // on conv_id (the carry is one row per conv — at scale this is
         // the same shuffle the batch pipeline's prefix scan already pays)
-        val adjusted = routed
+        val carried = routed
           .join(prev, Seq("conv_id"), "left")
           .withColumn("header",
             coalesce(col("header"), col("carry_header")))
           .withColumn("header_fields_carried",
             coalesce(col("header_fields_carried"), col("carry_fields")))
-          .withColumn("session_id",
-            col("session_id") + coalesce(col("carry_sessions"), lit(0L)))
+        val sessioned = seamBelongs match {
+          case None => carried
+            .withColumn("session_id",
+              col("session_id") + coalesce(col("carry_sessions"), lit(0L)))
+          case Some(_) =>
+            // the conv's first in-order row this batch (computed from
+            // the already-cached raw batch — no pipeline re-derivation)
+            val firstIdx = flagged.filter(!isLate)
+              .groupBy(col("conv_id"))
+              .agg(min(col("turn_idx")).as("_first_idx"))
+            val seamConv = coalesce(col("carry_prev_belongs"), lit(false))
+            val seamRow = seamConv && col("turn_idx") === col("_first_idx")
+            carried.join(firstIdx, Seq("conv_id"), "left")
+              // the seam row CONTINUES the previous batch's record: it
+              // was counted as a start within this batch (its lag saw
+              // nothing), so flip it, re-route it under the corrected
+              // flag, and shift the conv's session ids down by the one
+              // start it no longer contributes
+              .withColumn("is_continuation",
+                col("is_continuation") || seamRow)
+              .withColumn("sink",
+                when(seamRow, Route.sinkExpr(excludePattern))
+                  .otherwise(col("sink")))
+              .withColumn("session_id",
+                col("session_id") + coalesce(col("carry_sessions"), lit(0L))
+                  - when(seamConv, lit(1L)).otherwise(lit(0L)))
+              .drop("_first_idx")
+        }
+        val adjusted = sessioned
           .drop("carry_header", "carry_fields", "carry_sessions",
-            "carry_max_idx")
+            "carry_max_idx", "carry_prev_belongs")
           .cache()
         // cross-batch dedup (opt-in): same invariant as the batch
         // pipeline's dedupAcrossCycles — rows whose fingerprint an
@@ -263,7 +298,11 @@ object Streaming {
         // corpus cardinality — scanning it twice per batch is waste)
         val seenFps =
           if (dedupAcrossBatches)
-            Some(StreamFingerprints.read(sess, sinkRoot, batchId))
+            // cached: the re-route join and the snapshot-out union both
+            // materialize it, and the seen-set grows with corpus
+            // cardinality — two physical scans would double the store's
+            // per-batch read cost
+            Some(StreamFingerprints.read(sess, sinkRoot, batchId).cache())
           else None
         val published = seenFps match {
           case None => adjusted
@@ -303,12 +342,18 @@ object Streaming {
             max_by(col("session_id"), col("turn_idx")).as("carry_sessions"),
             // the ordering guard's reference point: only in-order rows
             // reach here, so this max strictly advances per conversation
-            max(col("turn_idx")).as("carry_max_idx"))
+            max(col("turn_idx")).as("carry_max_idx"),
+            // the what=next seam flag: did the conv's LAST row belong?
+            seamBelongs
+              .map(b => max_by(b, col("turn_idx")))
+              .getOrElse(lit(false)).as("carry_prev_belongs"))
         val merged = prev.join(batchCarry, Seq("conv_id"), "left_anti")
           .unionByName(batchCarry)
         Carry.write(merged, sinkRoot, batchId)
         if (dedupAcrossBatches) published.unpersist()
+        seenFps.foreach(_.unpersist())
         adjusted.unpersist()
+        prev.unpersist()
         flagged.unpersist()
         ()
       }
@@ -339,7 +384,8 @@ object Streaming {
     case class HeaderState(headerVersion: String, maxTurnIdx: Int)
 
     case class Stamped(conv_id: String, turn_idx: Int, role: String,
-        text: String, tool: String, ts: Timestamp, header: String)
+        text: String, tool: String, ts: Timestamp, header: String,
+        late: Boolean)
 
     /** P5 as genuine streaming state: the last seen `#Version:` value per
       * conversation is carried in [[GroupState]] and stamped onto every
@@ -347,6 +393,15 @@ object Streaming {
       * cannot see. Within a batch, the group is sorted by turn_idx (the
       * stable-ordering invariant) so propagation order matches the
       * reference's serial file read.
+      *
+      * ORDERING GUARD (the Carry path's quarantine discipline, applied
+      * to keyed state): a row whose turn_idx does not exceed the
+      * conversation's committed max is an out-of-order backfill. Its
+      * true header context predates the carried state, so it is
+      * emitted with `late = true` — the caller routes it to quarantine
+      * exactly like the foreachBatch path's stream/_violations — and
+      * it NEVER touches the state: a late header row must not regress
+      * the carried version for rows that legitimately follow it.
       *
       * The update function is pure (no clocks), so replays after a
       * checkpoint recovery produce identical output.
@@ -362,13 +417,17 @@ object Streaming {
           (convId: String, it: Iterator[Turn], state: GroupState[HeaderState]) => {
             val hdrRe = java.util.regex.Pattern.compile(hdrPattern)
             var st = state.getOption.getOrElse(HeaderState(null, -1))
+            val committedMax = st.maxTurnIdx // frozen at batch start
             val out = it.toSeq.sortBy(_.turn_idx).map { t =>
-              val m = hdrRe.matcher(t.text)
-              if (m.matches()) st = HeaderState(m.group(1), t.turn_idx)
-              else if (t.turn_idx > st.maxTurnIdx)
-                st = st.copy(maxTurnIdx = t.turn_idx)
+              val late = t.turn_idx <= committedMax
+              if (!late) {
+                val m = hdrRe.matcher(t.text)
+                if (m.matches()) st = HeaderState(m.group(1), t.turn_idx)
+                else if (t.turn_idx > st.maxTurnIdx)
+                  st = st.copy(maxTurnIdx = t.turn_idx)
+              }
               Stamped(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-                st.headerVersion)
+                if (late) null else st.headerVersion, late)
             }
             state.update(st)
             out.iterator

@@ -249,6 +249,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a batch consults only STRICTLY earlier snapshots")
   }
 
+  test("multiline what=next records survive the micro-batch seam: the " +
+      "carried belongs flag keeps the boundary row glued, routed and " +
+      "session-numbered exactly like the batch pipeline") {
+    val input = s"$scratch/seam_input"
+    val sinkRoot = s"$scratch/seam_sinks"
+    val ckpt = s"$scratch/seam_ckpt"
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    // what=next with 'line ends in backslash glues to the NEXT line' —
+    // the codec whose continuation flag is a LAG and therefore blind
+    // across a batch boundary without the carried seam flag
+    val codec = Pipeline.MultilineCodec(
+      Parse.MultilineConfig("\\\\$", negate = false, what = "next"))
+    val fileA = Seq(
+      Turn("mm", 0, "user",
+        "2025-01-01T00:00:00Z INFO [user] cmd \\", null, ts0),
+      Turn("nn", 0, "user",
+        "2025-01-01T00:00:01Z INFO [user] solo", null, ts0))
+    val fileB = Seq(
+      // the SEAM row: continues mm's record AND is not grok-parseable —
+      // mis-classified as a record start it would ALSO dead-letter
+      Turn("mm", 1, "user", "rest of the command", null, ts0),
+      Turn("mm", 2, "user",
+        "2025-01-01T00:00:02Z INFO [user] next record", null, ts0))
+    new java.io.File(input).mkdirs()
+    fileA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/a")
+    fileB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$input/b")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onePart(s"$input/a").setLastModified(1000000L)
+    onePart(s"$input/b").setLastModified(2000000L)
+
+    Streaming.runForeachBatch(spark, s"$input/*", sinkRoot, ckpt,
+      maxFilesPerTrigger = 1, codec = codec).awaitTermination()
+
+    val cols = Seq($"conv_id", $"turn_idx", $"session_id", $"sink",
+      $"is_continuation")
+    val streamed = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream").select(cols: _*)
+    val batch = Pipeline((fileA ++ fileB).toDS(), codec = codec)
+      .select(cols: _*)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"what=next streaming must equal batch:\n" +
+        s"stream=${streamed.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}\n" +
+        s"batch=${batch.orderBy($"conv_id", $"turn_idx").collect().mkString("\n")}")
+    val byKey = streamed.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(byKey(("mm", 1)) == ((1L, "user", true)),
+      "the seam row continues record 1 and routes by role, not deadletter")
+    assert(byKey(("mm", 2))._1 == 2L, "the record AFTER the seam starts fresh")
+  }
+
   test("Carry.read takes the latest snapshot STRICTLY BEFORE the batch " +
       "(a retried batch never reads its own crashed partial state)") {
     val root = s"$scratch/carry_unit"
@@ -444,5 +497,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(("c1", 1)) == "2.5")
     assert(rows(("c1", 2)) == "2.5", "state survived the micro-batch boundary")
     assert(rows(("c2", 0)) == null, "no cross-conversation leakage")
+  }
+
+  test("flatMapGroupsWithState ordering guard: late backfill rows are " +
+      "flagged, stamped null, and never regress the carried header") {
+    val ts0 = new Timestamp(Synth.baseEpochMs)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val out = Streaming.StatefulHeaders.propagate(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("hdr_late")
+      .outputMode("append").start()
+
+    mem.addData(
+      Turn("c1", 5, "system", "#Version: 2.0", null, ts0),
+      Turn("c1", 9, "user", "2025-01-01T00:00:01Z INFO [user] x", null, ts0))
+    q.processAllAvailable()
+    // a backfilled OLD file: a pre-header turn AND an older header —
+    // both must be flagged late; the old header must NOT regress state
+    mem.addData(
+      Turn("c1", 2, "user", "2025-01-01T00:00:00Z INFO [user] old", null, ts0),
+      Turn("c1", 3, "system", "#Version: 1.0", null, ts0))
+    q.processAllAvailable()
+    // a fresh in-order turn still sees the CURRENT header
+    mem.addData(
+      Turn("c1", 10, "user", "2025-01-01T00:00:02Z INFO [user] y", null, ts0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hdr_late")
+      .select($"turn_idx", $"header", $"late")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(rows(9) == ("2.0", false))
+    assert(rows(2) == (null, true),
+      "a backfilled row must not be stamped with a FUTURE header")
+    assert(rows(3) == (null, true), "late header rows are late too")
+    assert(rows(10) == ("2.0", false),
+      "a late 1.0 header must not regress the carried 2.0")
   }
 }
