@@ -174,7 +174,17 @@ object Similarity {
     seeds
   }
 
-  /** Argmin-cosine cluster id over literal centroids (ties -> first). */
+  /** Argmin-cosine cluster id over literal centroids (ties -> first).
+    *
+    * PARITY NOTE: the argmax compares UNROUNDED float64 cosines, so a
+    * vector whose two nearest centroids differ only in the last ulps
+    * could rank differently in an engine that folds the dot product in
+    * a different order (the e04/e05/e06/e08 oracles replay this
+    * chain). The driver fixtures have no such near-ties — three rounds
+    * of hash-exact oracles confirm — and [[kmeansPlusPlusSeeds]] shows
+    * the rounding discipline (round-before-argmax) to apply if a
+    * future corpus needs tie-stable assignment.
+    */
   def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cvec) =>
       struct(cosineWithLiteral(vec, cvec).as("s"), lit(cid).as("cid"))
