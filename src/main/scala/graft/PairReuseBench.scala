@@ -52,12 +52,43 @@ object PairReuseBench {
         .groupBy(col("source")).count().collect()
     }
 
+    // --- incremental LSH, production shape vs standalone re-derive ---
+    // A new ingest batch (the top 10% of doc ids) arrives against a
+    // standing corpus. The d21 STANDALONE query re-shingles both sides
+    // by oracle necessity; the production path keeps the corpus's band
+    // table persisted (writeBands at index-build time — not on the
+    // incremental clock) and pays only: shingle the NEW batch + one
+    // (band, sig) join. This measures exactly that delta.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId - maxId / 10
+    val oldDocs = docs.filter(col("doc_id") < cut)
+    val newDocs = docs.filter(col("doc_id") >= cut)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
+    Dedup.writeBands(bandsOf(oldDocs), root, "docs", "b1", "doc_id")
+    val stored = Dedup.readBands(spark, root, "docs", Set("b1")).get
+    val (nInc, tIncStored) = timed {
+      Dedup.incrementalLshPairs(stored, bandsOf(newDocs), "doc_id").count()
+    }
+    // the from-scratch equivalent: full-corpus derivation restricted to
+    // new-involving pairs (what d21 times standalone)
+    val (_, tIncFull) = timed {
+      val p = derivePairs()
+      val newIds = newDocs.select(col("doc_id").as("id_a"))
+      p.join(newIds, Seq("id_a"), "left_semi")
+        .unionByName(p.join(newIds.withColumnRenamed("id_a", "id_b"),
+          Seq("id_b"), "left_semi").select(col("id_a"), col("id_b")))
+        .distinct().count()
+    }
+
     println(s"""{"sf":"$sfDir","n_pairs":$nPairs,""" +
       s""""rederive":{"resolve":$tResolveDerive,"curated":$tCuratedDerive,""" +
       s""""total":${tResolveDerive + tCuratedDerive}},""" +
       s""""persisted":{"write_once":$tWrite,"resolve":$tResolveP,""" +
       s""""curated":$tCuratedP,""" +
-      s""""total":${tWrite + tResolveP + tCuratedP}}}""")
+      s""""total":${tWrite + tResolveP + tCuratedP}},""" +
+      s""""incremental_lsh":{"n_new_pairs":$nInc,""" +
+      s""""stored_bands":$tIncStored,"full_rederive":$tIncFull}}""")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }

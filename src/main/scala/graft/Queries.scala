@@ -985,6 +985,65 @@ object Queries {
        SELECT id_a, id_b FROM pairs
        WHERE id_a >= 250 OR id_b >= 250 ORDER BY id_a, id_b"""
 
+  /** Deterministic merges-table BPE token counts (d22): per DISTINCT
+    * corpus word, its occurrence count and its BPE token count under
+    * the shared layered merges table ([[graft.ops.Bpe]]). The Spark
+    * side tokenizes each distinct word ONCE with the pure-Catalyst
+    * rank fold and joins back (the Zipf-shaped production plan); the
+    * oracle replays TEXTBOOK BPE — lowest-rank pair present, leftmost
+    * occurrence, one merge per recursive step until fixpoint — via a
+    * recursive CTE over the SAME merges VALUES list. The two
+    * formulations agree only if the fold's once-through semantics
+    * equal textbook semantics (the layering argument in Bpe.scala,
+    * property-tested in OpsSpec) — the oracle is an independent
+    * derivation, not a transcription.
+    */
+  def d22(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val words = docs.select(
+      explode(graft.ops.Bpe.normalizeWords(col("text"))).as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("n_bpe_tokens",
+        size(graft.ops.Bpe.tokenizeWord(col("word"))).cast("long"))
+      .orderBy(col("word"))
+  }
+
+  val d22Sql: String =
+    s"""WITH RECURSIVE
+       merges(rank, a, b) AS (VALUES ${graft.ops.Bpe.mergesSqlValues}),
+       words0 AS (SELECT unnest(string_split(
+           regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+           ' ')) AS word FROM documents),
+       words AS (SELECT word, count(*) AS n_occ FROM words0
+                 WHERE word <> '' GROUP BY word),
+       r(w, st, step) AS (
+         SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'), 0
+         FROM words
+         UNION ALL
+         SELECT w,
+           substr(st, 1, pos - 1) || ' ' || a || b || ' ' ||
+             substr(st, pos + length(a) + length(b) + 3),
+           step + 1
+         FROM (
+           SELECT r.w, r.st, r.step, m.a, m.b, m.rank,
+                  position((' ' || m.a || ' ' || m.b || ' ') IN r.st) AS pos
+           FROM r JOIN merges m
+             ON position((' ' || m.a || ' ' || m.b || ' ') IN r.st) > 0
+           QUALIFY row_number()
+             OVER (PARTITION BY r.w, r.step ORDER BY m.rank) = 1
+         )
+       ),
+       final AS (SELECT w, st FROM (
+         SELECT w, st,
+                row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+         FROM r) WHERE rn = 1)
+       SELECT words.word, words.n_occ AS n_occurrences,
+              length(f.st) - length(replace(f.st, ' ', '')) - 1
+                AS n_bpe_tokens
+       FROM words JOIN final f ON f.w = words.word
+       ORDER BY words.word"""
+
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1152,7 +1211,10 @@ object Queries {
   def e04(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
-    Similarity.ivfAssign(emb, "embedding", cents)
+    // round-before-argmax: near-ties collapse to equal scores and break
+    // by cid IDENTICALLY in Spark and the SQL oracle (the
+    // kmeansPlusPlusSeeds discipline, now on assignment too)
+    Similarity.ivfAssign(emb, "embedding", cents, roundDigits = 6)
       .groupBy(col("ivf_cluster"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("ivf_cluster"))
@@ -1169,9 +1231,9 @@ object Queries {
        dots AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
                 FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
        scored AS (SELECT dots.vec_id, dots.cid,
-                  dots.d / (bn.n * cn.n) AS s,
                   row_number() OVER (PARTITION BY dots.vec_id
-                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
                   FROM dots JOIN bn ON bn.vec_id = dots.vec_id
                   JOIN cn ON cn.cid = dots.cid)
        SELECT cid AS ivf_cluster, count(*) AS n_vectors
@@ -1187,7 +1249,8 @@ object Queries {
   def e05(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
-    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents,
+      roundDigits = 6)
     val query = emb.filter(col("vec_id") === 42)
       .head().getSeq[Float](1).map(_.toDouble)
     Similarity.ivfTopK(assigned, "vec_id", "embedding", cents, query,
@@ -1208,7 +1271,8 @@ object Queries {
        assigned AS (SELECT vec_id, cid FROM (
                   SELECT dots.vec_id, dots.cid,
                   row_number() OVER (PARTITION BY dots.vec_id
-                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
                   FROM dots JOIN bn ON bn.vec_id = dots.vec_id
                   JOIN cn ON cn.cid = dots.cid) WHERE rn = 1),
        qe AS (SELECT generate_subscripts(embedding, 1) AS i,
@@ -1458,22 +1522,28 @@ object Queries {
   }
 
   lazy val e09Sql: String = {
-    // distance-to-seed CTE: rounded cosine distance of EVERY vector to
-    // stage n's single seed (the seed row itself included, d = 0)
+    // distance-to-seed CTE: rounded cosine distance of every CANDIDATE
+    // vector to stage n's single seed (the seed row itself included,
+    // d = 0). `bn.n > 0` mirrors kmeansPlusPlusSeeds' zero-norm
+    // candidacy filter BY CONSTRUCTION — without it a zero-norm row in
+    // the fixture would divide by zero here while the Spark side
+    // excludes it, and the parity would hold only by fixture luck
     def ds(n: Int): String =
       s"""ds$n AS (SELECT be.vec_id,
            round(1.0 - sum(be.v::DOUBLE * sv.v::DOUBLE) / (bn.n * sn$n.nn), 6) AS d
            FROM be
            JOIN (SELECT i, v FROM be
                  WHERE vec_id = (SELECT vec_id FROM s$n)) sv ON sv.i = be.i
-           JOIN bn ON bn.vec_id = be.vec_id
+           JOIN bn ON bn.vec_id = be.vec_id AND bn.n > 0
            CROSS JOIN (SELECT n AS nn FROM bn
                        WHERE vec_id = (SELECT vec_id FROM s$n)) sn$n
            GROUP BY be.vec_id, bn.n, sn$n.nn)"""
     def exclude(n: Int): String =
       (1 to n).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ")
     val stages = new scala.collection.mutable.ArrayBuffer[String]
-    stages += """s1 AS (SELECT vec_id FROM embeddings
+    // first seed drawn from NON-ZERO-NORM vectors only (the Spark
+    // side's `cand` filter) — same rationale as the ds guard
+    stages += """s1 AS (SELECT vec_id FROM bn WHERE n > 0
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"""
     stages += ds(1)
     stages += "m1 AS (SELECT vec_id, d AS dmin FROM ds1)"
@@ -1510,6 +1580,53 @@ object Queries {
        SELECT cid AS ivf_cluster, count(*) AS n_vectors
        FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
   }
+
+  /** Incremental IVF maintenance (e10): a NEW ingest batch
+    * (vec_id >= 400) assigned against centroids FROZEN from the prior
+    * corpus (vec_id < 400) — [[Similarity.incrementalIvf]]'s
+    * assign-without-rescan step, with the drift floor set so the
+    * frozen index is kept (the re-seed branch is OpsSpec-covered with
+    * a planted drifted batch). Output per cluster: new-vector count
+    * and the MINIMUM rounded cosine (min of rounded values is
+    * summation-order-independent, hence engine-exact). The oracle
+    * replays the frozen-centroid derivation and the rounded argmax
+    * over exactly the new batch.
+    */
+  def e10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val old = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400)
+    val cents = Similarity.ivfCentroids(old, "vec_id", "embedding", 8)
+    val upd = Similarity.incrementalIvf(old, fresh, "vec_id", "embedding",
+      cents, k = 8, minCosine = -1.0) // floor below any cosine: no reseed
+    assert(!upd.reseeded, "e10 exercises the frozen-index branch")
+    upd.assigned
+      .groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n_new_vectors"),
+        min(col("ivf_cosine")).as("min_cosine"))
+      .orderBy(col("ivf_cluster"))
+  }
+
+  val e10Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < 400 ORDER BY vec_id LIMIT 8),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v FROM c),
+       be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings WHERE vec_id >= 400),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM ce GROUP BY cid),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n FROM be GROUP BY vec_id),
+       dots AS (SELECT be.vec_id, ce.cid, sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
+       scored AS (SELECT dots.vec_id, dots.cid,
+                  round(dots.d / (bn.n * cn.n), 6) AS s,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid)
+       SELECT cid AS ivf_cluster, count(*) AS n_new_vectors,
+              min(s) AS min_cosine
+       FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
 
   /** Composite training-data CURATION pipeline — the end-to-end flow a
     * 100 TB curation job runs: exact dedup (hash-agg + semi-join) ->
@@ -1958,6 +2075,29 @@ object Queries {
               AS BIGINT) AS duration_ms
        FROM range(64) ORDER BY media_id"""
 
+  /** REAL MP4/ISO-BMFF header decode (m04): structurally valid MP4
+    * payloads (Multimodal.synthMp4Payload — ftyp brand, nested moov
+    * with junk udta, a sound trak the walker must SKIP, the video
+    * trak's tkhd behind a junk edts sibling, a 64-bit largesize mdat
+    * before moov on even ids, version-0/1 mvhd+tkhd by id parity)
+    * carry closed-form dims/timescale/duration; the distributed box
+    * walk (Multimodal.VideoCodec) recovers them and derives the
+    * presentation duration in ms. Oracle = closed-form recompute;
+    * OpsSpec pins truncation/corrupt-size/hang-proofness fixtures.
+    */
+  def m04(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.videoMeta(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m04Sql: String =
+    """SELECT range AS media_id,
+         'mp4' AS format,
+         CAST(160 + (range * 2654435761) % 1760 AS INT) AS width,
+         CAST(120 + (range * 40503) % 960 AS INT) AS height,
+         CAST(floor((1000 + (range * 48271) % 120000) * 1000.0 /
+              (600 + 100 * (range % 7))) AS BIGINT) AS duration_ms
+       FROM range(64) ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2006,6 +2146,7 @@ object Queries {
     "d19_curated_corpus" -> (d19 _),
     "d20_crosscycle_dedup" -> (d20 _),
     "d21_incremental_lsh" -> (d21 _),
+    "d22_bpe_tokens" -> (d22 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -2017,12 +2158,14 @@ object Queries {
     "e07_lsh_topk" -> (e07 _),
     "e08_kmeans_converged" -> (e08 _),
     "e09_kmeanspp_seeding" -> (e09 _),
+    "e10_incremental_ivf" -> (e10 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_image_header_decode" -> (m02 _),
-    "m03_audio_header_decode" -> (m03 _)
+    "m03_audio_header_decode" -> (m03 _),
+    "m04_video_header_decode" -> (m04 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2071,6 +2214,7 @@ object Queries {
     "d19_curated_corpus" -> d19Sql,
     "d20_crosscycle_dedup" -> d20Sql,
     "d21_incremental_lsh" -> d21Sql,
+    "d22_bpe_tokens" -> d22Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
@@ -2082,10 +2226,12 @@ object Queries {
     "e07_lsh_topk" -> e07Sql,
     "e08_kmeans_converged" -> e08Sql,
     "e09_kmeanspp_seeding" -> e09Sql,
+    "e10_incremental_ivf" -> e10Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "m02_image_header_decode" -> m02Sql,
     "m03_audio_header_decode" -> m03Sql,
+    "m04_video_header_decode" -> m04Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

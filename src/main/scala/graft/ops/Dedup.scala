@@ -431,6 +431,56 @@ object Dedup {
     else Some(spark.read.parquet(dirs: _*).distinct())
   }
 
+  /** ---- Namespace growth bounds for the dedup stores --------------
+    *
+    * `_pairs` and `_bands` accumulate one dir per ingest batch; a
+    * long-lived corpus would otherwise grow the read fan-in (and the
+    * dir listing) O(batches). Both fold with the engine's ONE shared
+    * compaction body (graft.pipeline.Sinks.compactNamespace): compacted
+    * snapshot written first, whole-row distinct — for bands exactly the
+    * (band, sig, id) distinct every reader already applies — only
+    * pre-listed dirs deleted, orphans (batch ids that never committed)
+    * deleted as crash debris. Readers (readPairs/readBands) recognize
+    * `compacted-` survivors via Sinks.partitionCommitted and tolerate
+    * crash-window duplicate rows via their distinct.
+    */
+  def compactPairs(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, committedBatches: => Set[String],
+      maxDirs: Int = 64): Boolean =
+    graft.pipeline.Sinks.compactNamespace(spark, pairsDir(root, corpusId),
+      committedBatches, maxDirs, mergeSchema = false)
+
+  def compactBands(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, committedBatches: => Set[String],
+      maxDirs: Int = 64): Boolean =
+    graft.pipeline.Sinks.compactNamespace(spark, bandsDir(root, corpusId),
+      committedBatches, maxDirs, mergeSchema = false)
+
+  /** `_clusters` must NOT row-fold: each [[writeClusters]] batch is a
+    * FULL label generation ([[mergeClusters]] emits merged labels, not
+    * deltas), so a distinct union across generations would fabricate
+    * ids with two conflicting labels. The honest bound is RETENTION:
+    * past `maxDirs` dirs, keep only the current generation `keep`
+    * (superseded committed generations and orphans alike are debris —
+    * single writer per corpusId, post-commit call site, same reasoning
+    * as compactNamespace's orphan rule). Delete-only, so there is no
+    * crash window at all: any prefix of the deletes leaves a smaller,
+    * still-correct namespace.
+    */
+  def compactClusters(spark: org.apache.spark.sql.SparkSession,
+      root: String, corpusId: String, keep: String,
+      maxDirs: Int = 64): Boolean = {
+    val all = graft.pipeline.Sinks.batchDirs(spark,
+      s"$root/_clusters/$corpusId")
+    if (all.length <= maxDirs) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    all.filterNot(_.endsWith(s"batch=$keep")).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    true
+  }
+
   /** Candidate pairs INVOLVING at least one new document, EXACTLY equal
     * to the full-corpus derivation restricted to such pairs (proof
     * sketch: a pair with a new member can only live in a bucket with
@@ -447,8 +497,14 @@ object Dedup {
     */
   def incrementalLshPairs(storedBands: DataFrame, newBands: DataFrame,
       idCol: String, maxBucket: Int = 1000): DataFrame = {
+    // distinct on (band, sig, id): a document present in BOTH sides
+    // (re-ingestion of an already-committed doc) must not double-count
+    // in bucket sizes — an inflated size could fire the maxBucket skew
+    // cap where a from-scratch run would not, breaking the documented
+    // bucket-for-bucket exactness
     val all = storedBands.select(col("band"), col("sig"), col(idCol))
       .unionByName(newBands.select(col("band"), col("sig"), col(idCol)))
+      .distinct()
     // buckets that gained a new member — the only place a new pair can
     // appear; everything else is pruned before any pair expansion
     val touched = newBands.select(col("band"), col("sig")).distinct()
@@ -530,8 +586,14 @@ object Dedup {
 
   /** Drop near-duplicate non-survivors given a (possibly persisted)
     * pair set: resolve clusters, anti-join the non-survivors away.
-    * `labels` may instead be a pre-resolved label table (e.g. read
-    * back from [[writeClusters]] output) via [[dropNonSurvivors]].
+    *
+    * STORAGE NOTE: the resolution's final localCheckpoint blocks stay
+    * pinned for the session lifetime (the returned frame recomputes
+    * from them, so they cannot be freed here). Fine for a one-shot
+    * call; a loop that resolves per corpus in one session should use
+    * [[resolveClustersIter]] + [[dropNonSurvivors]] and call
+    * `release()` after its terminal action — or [[writeClusters]],
+    * which persists the labels and releases eagerly.
     */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     dropNonSurvivors(df, idCol, resolveClusters(pairs))

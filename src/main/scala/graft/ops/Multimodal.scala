@@ -195,7 +195,11 @@ object Multimodal {
       while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
         val id = ascii(i)
         val size = le32(i + 4) // unsigned 32-bit, as Long: 0..2^32-1
-        if (id == "fmt " && i + 24 <= p.length)
+        // gate on the DECLARED size too: a truncated `fmt ` chunk
+        // (size < 16) followed by another chunk would otherwise read
+        // the neighbor's header bytes as block-align/bits and classify
+        // a corrupt blob successfully with garbage metadata
+        if (id == "fmt " && size >= 16L && i + 24 <= p.length)
           fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
         else if (id == "data") data = Some(size)
         // advance in LONG arithmetic: a corrupt size near 2^32 truncated
@@ -211,6 +215,213 @@ object Multimodal {
            if ch > 0 && rate > 0 && bits > 0)
         yield (ch, rate, bits, d)
     }
+  }
+
+  /** REAL video-container header decode — ISO-BMFF (MP4) box walk,
+    * pure JVM: presentation duration from `moov/mvhd`
+    * (timescale+duration, version 0 and 1 layouts) and display
+    * dimensions from the first VIDEO track's `moov/trak/tkhd`
+    * (16.16 fixed point; sound tracks carry 0x0 and are skipped).
+    * Box sizes are walked in LONG arithmetic with 64-bit `largesize`
+    * (size==1) and to-end-of-file (size==0) handled, so a corrupt
+    * size near 2^32 can never advance by <= 0 and hang the task — the
+    * AudioCodec discipline. Corrupt/truncated blobs classify as
+    * undecodable, never throw.
+    */
+  object VideoCodec {
+
+    private def u8(p: Array[Byte], o: Int): Int = p(o) & 0xff
+    private def be32(p: Array[Byte], o: Int): Long =
+      (u8(p, o).toLong << 24) | (u8(p, o + 1) << 16) |
+        (u8(p, o + 2) << 8) | u8(p, o + 3)
+    private def be64(p: Array[Byte], o: Int): Long =
+      (be32(p, o) << 32) | be32(p, o + 4)
+    private def fourcc(p: Array[Byte], o: Int): String =
+      new String(p, o, 4, "US-ASCII")
+
+    /** (boxType, payloadStart, boxEnd) for the box at `i`, or None when
+      * the header is malformed/truncated. `boxEnd` is clamped to the
+      * payload length: a size overrunning the blob just ends the walk
+      * with whatever was already parsed (truncation tolerance).
+      */
+    private def boxAt(p: Array[Byte], i: Long,
+        limit: Long): Option[(String, Long, Long)] = {
+      if (i + 8 > limit) return None
+      val size32 = be32(p, i.toInt)
+      val typ = fourcc(p, i.toInt + 4)
+      val (hdr, size) =
+        if (size32 == 1L) {
+          if (i + 16 > limit) return None
+          (16L, be64(p, i.toInt + 8))
+        } else if (size32 == 0L) (8L, limit - i) // to end of enclosure
+        else (8L, size32)
+      if (size < hdr) return None // would not advance: corrupt
+      Some((typ, i + hdr, math.min(i + size, limit)))
+    }
+
+    /** (width, height, duration_ms) from an MP4 payload; None for
+      * anything unparseable. The ftyp brand check is the format gate
+      * (the conventional MP4 magic at offset 4).
+      */
+    def decodeMp4(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (p == null || p.length < 12 || fourcc(p, 4) != "ftyp") return None
+      val limit = p.length.toLong
+      var i = 0L
+      var mvhd: Option[(Long, Long)] = None // (timescale, duration)
+      var dims: Option[(Int, Int)] = None
+      while (i + 8 <= limit && (mvhd.isEmpty || dims.isEmpty)) {
+        boxAt(p, i, limit) match {
+          case None => return None // lost box alignment: corrupt
+          case Some((typ, body, end)) =>
+            if (typ == "moov") {
+              var j = body
+              while (j + 8 <= end && (mvhd.isEmpty || dims.isEmpty)) {
+                boxAt(p, j, end) match {
+                  case None => j = end // corrupt child: stop this walk
+                  case Some(("mvhd", b, e)) =>
+                    mvhd = parseMvhd(p, b, e); j = e
+                  case Some(("trak", b, e)) =>
+                    if (dims.isEmpty) dims = parseTrak(p, b, e)
+                    j = e
+                  case Some((_, _, e)) => j = e
+                }
+              }
+            }
+            i = end
+        }
+      }
+      for ((ts, dur) <- mvhd; (w, h) <- dims if ts > 0)
+        yield (w, h, dur * 1000L / ts)
+    }
+
+    /** mvhd fullbox: v0 puts timescale/duration at payload +12/+16
+      * (32-bit); v1 at +20/+24 (duration 64-bit) after the widened
+      * creation/modification times.
+      */
+    private def parseMvhd(p: Array[Byte], b: Long,
+        e: Long): Option[(Long, Long)] = {
+      if (b + 4 > e) return None
+      u8(p, b.toInt) match {
+        case 0 if b + 20 <= e =>
+          Some((be32(p, b.toInt + 12), be32(p, b.toInt + 16)))
+        case 1 if b + 32 <= e =>
+          Some((be32(p, b.toInt + 20), be64(p, b.toInt + 24)))
+        case _ => None
+      }
+    }
+
+    /** First tkhd inside a trak with NONZERO 16.16 display dims (a
+      * sound track's tkhd carries 0x0 — not this track's business).
+      */
+    private def parseTrak(p: Array[Byte], b: Long,
+        e: Long): Option[(Int, Int)] = {
+      var j = b
+      while (j + 8 <= e) {
+        boxAt(p, j, e) match {
+          case None => return None
+          case Some(("tkhd", tb, te)) =>
+            if (tb + 4 > te) return None
+            val dimOff = u8(p, tb.toInt) match {
+              case 0 => 76L // 4 + (4+4+4+4+4) + 52
+              case 1 => 88L // 4 + (8+8+4+4+8) + 52
+              case _ => return None
+            }
+            if (tb + dimOff + 8 > te) return None
+            val w = (be32(p, (tb + dimOff).toInt) >> 16).toInt
+            val h = (be32(p, (tb + dimOff + 4).toInt) >> 16).toInt
+            return if (w > 0 && h > 0) Some((w, h)) else None
+          case Some((_, _, ce)) => j = ce
+        }
+      }
+      None
+    }
+  }
+
+  /** Deterministic REAL MP4 payloads for the m04 oracle: closed-form
+    * dims/timescale/duration any engine recomputes. Structure proves
+    * the walk: even ids put a LARGESIZE (size==1, 64-bit) mdat BEFORE
+    * moov (the walker must skip it via the 64-bit size) and use
+    * version-0 mvhd/tkhd; odd ids use version-1 (64-bit times). The
+    * moov carries a junk `udta` child before mvhd, and a SOUND trak
+    * (0x0 tkhd dims) precedes the video trak, which itself hides its
+    * tkhd behind a junk `edts` sibling — every branch of the child
+    * walk is load-bearing.
+    */
+  def synthMp4Params(id: Long): (Int, Int, Long, Long) =
+    (160 + Math.floorMod(id * 2654435761L, 1760L).toInt,
+      120 + Math.floorMod(id * 40503L, 960L).toInt,
+      600L + 100L * (id % 7),
+      1000L + Math.floorMod(id * 48271L, 120000L))
+
+  def synthMp4Payload(id: Long): Array[Byte] = {
+    val (w, h, timescale, duration) = synthMp4Params(id)
+    val v1 = id % 2 == 1
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    def fullbox0(version: Int, rest: java.nio.ByteBuffer => Unit,
+        cap: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(cap)
+      bb.putInt(version << 24) // version + 0 flags
+      rest(bb)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val mvhd = box("mvhd", fullbox0(if (v1) 1 else 0, bb => {
+      if (v1) { bb.putLong(0L); bb.putLong(0L) } // creation, modification
+      else { bb.putInt(0); bb.putInt(0) }
+      bb.putInt(timescale.toInt)
+      if (v1) bb.putLong(duration) else bb.putInt(duration.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      bb.put(new Array[Byte](10 + 36 + 24)) // reserved+matrix+predefined
+      bb.putInt(2) // next track id
+    }, 128))
+    def tkhd(tw: Int, th: Int) = box("tkhd", fullbox0(if (v1) 1 else 0,
+      bb => {
+        if (v1) { bb.putLong(0L); bb.putLong(0L) }
+        else { bb.putInt(0); bb.putInt(0) }
+        bb.putInt(1).putInt(0) // track id, reserved
+        if (v1) bb.putLong(duration) else bb.putInt(duration.toInt)
+        bb.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))
+        bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
+      }, 128))
+    val soundTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak",
+      box("edts", "graftjunkedit".getBytes("US-ASCII")) ++ tkhd(w, h))
+    val moov = box("moov",
+      box("udta", "graftjunk".getBytes("US-ASCII")) ++
+        mvhd ++ soundTrak ++ videoTrak)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val noise = new Array[Byte](48)
+    new java.util.Random(id).nextBytes(noise)
+    val mdat =
+      if (v1) box("mdat", noise)
+      else { // largesize form: size==1 + 64-bit size after the type
+        val bb = java.nio.ByteBuffer.allocate(16 + noise.length)
+        bb.putInt(1).put("mdat".getBytes("US-ASCII"))
+          .putLong(16L + noise.length).put(noise)
+        bb.array()
+      }
+    if (v1) ftyp ++ moov ++ mdat else ftyp ++ mdat ++ moov
+  }
+
+  /** Distributed MP4 metadata extraction — the m04 query body (same
+    * shape as [[imageDims]]/[[audioMeta]]: narrow map, blobs never
+    * shuffled).
+    */
+  def videoMeta(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        VideoCodec.decodeMp4(synthMp4Payload(id)) match {
+          case Some((w, h, durMs)) => (id, "mp4", w, h, durMs)
+          case None => (id, "undecodable", -1, -1, -1L)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "duration_ms")
   }
 
   /** Deterministic REAL WAV payloads for the m03 oracle: closed-form

@@ -174,20 +174,24 @@ object Similarity {
     seeds
   }
 
-  /** Argmin-cosine cluster id over literal centroids (ties -> first).
+  /** Argmax-cosine cluster id over literal centroids.
     *
-    * PARITY NOTE: the argmax compares UNROUNDED float64 cosines, so a
-    * vector whose two nearest centroids differ only in the last ulps
-    * could rank differently in an engine that folds the dot product in
-    * a different order (the e04/e05/e06/e08 oracles replay this
-    * chain). The driver fixtures have no such near-ties — three rounds
-    * of hash-exact oracles confirm — and [[kmeansPlusPlusSeeds]] shows
-    * the rounding discipline (round-before-argmax) to apply if a
-    * future corpus needs tie-stable assignment.
+    * `roundDigits >= 0` rounds each cosine BEFORE the argmax (the
+    * [[kmeansPlusPlusSeeds]] discipline): a vector whose two nearest
+    * centroids differ only in the last ulps of the float64 fold would
+    * otherwise rank differently in an engine summing the dot product
+    * in a different order — with rounding, such near-ties collapse to
+    * EQUAL scores and break deterministically to the largest cid in
+    * every engine (OpsSpec pins this on a constructed near-tie
+    * fixture; e04/e05 replay the rounded chain in SQL). The default
+    * (-1, unrounded) keeps exact scores for single-engine use.
     */
-  def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+  def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])],
+      roundDigits: Int = -1): Column = {
     val scored = centroids.map { case (cid, cvec) =>
-      struct(cosineWithLiteral(vec, cvec).as("s"), lit(cid).as("cid"))
+      val raw = cosineWithLiteral(vec, cvec)
+      val s = if (roundDigits >= 0) round(raw, roundDigits) else raw
+      struct(s.as("s"), lit(cid).as("cid"))
     }
     // array_max picks the lexicographically-largest (score, cid) struct:
     // highest cosine wins; ties break to the LARGEST cid — mirror that
@@ -196,8 +200,70 @@ object Similarity {
   }
 
   def ivfAssign(df: DataFrame, vecCol: String,
-      centroids: Seq[(Long, Seq[Double])]): DataFrame =
-    df.withColumn("ivf_cluster", ivfAssignExpr(col(vecCol), centroids))
+      centroids: Seq[(Long, Seq[Double])],
+      roundDigits: Int = -1): DataFrame =
+    df.withColumn("ivf_cluster",
+      ivfAssignExpr(col(vecCol), centroids, roundDigits))
+
+  /** As [[ivfAssign]], also emitting the winning cosine as
+    * `ivf_cosine` — ONE argmax struct evaluated once, both fields
+    * projected from it. With `roundDigits >= 0` the score is the
+    * rounded value, so downstream order-independent aggregates over it
+    * (count, min, max) are engine-exact for oracles.
+    */
+  def ivfAssignScored(df: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      roundDigits: Int = -1): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      val raw = cosineWithLiteral(col(vecCol), cvec)
+      val s = if (roundDigits >= 0) round(raw, roundDigits) else raw
+      struct(s.as("s"), lit(cid).as("cid"))
+    }
+    df.withColumn("_best", array_max(array(scored: _*)))
+      .withColumn("ivf_cluster", col("_best").getField("cid"))
+      .withColumn("ivf_cosine", col("_best").getField("s"))
+      .drop("_best")
+  }
+
+  /** One incremental IVF maintenance step — the ANN family's analog of
+    * the dedup family's incremental story ([[Dedup.incrementalLshPairs]]
+    * / mergeClusters): a NEW ingest batch is assigned against the
+    * FROZEN centroid set (a narrow codegen'd map over the batch only —
+    * the indexed corpus is never rescanned), and a drift check decides
+    * whether the frozen index still fits. Drift = fraction of new
+    * vectors whose best cosine falls below `minCosine`; past
+    * `maxDriftFraction` the index is RE-SEEDED with
+    * [[kmeansPlusPlusSeeds]] over a deterministic hash-gated sample
+    * (the d17 operator's gate) of corpus + batch, and the batch is
+    * re-assigned against the new seeds. Existing corpus labels are the
+    * caller's to refresh lazily (clusters only change on re-seed).
+    */
+  case class IvfUpdate(assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], reseeded: Boolean,
+      driftFraction: Double)
+
+  def incrementalIvf(corpus: DataFrame, fresh: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Seq[Double])], k: Int,
+      minCosine: Double = 0.7, maxDriftFraction: Double = 0.5,
+      sampleRate16: Int = 16, roundDigits: Int = 6): IvfUpdate = {
+    val scored = ivfAssignScored(fresh, vecCol, centroids, roundDigits)
+    // one aggregate: batch size + count below the drift floor — only
+    // two longs reach the driver
+    val row = scored.agg(
+      count(lit(1)).as("n"),
+      count(when(col("ivf_cosine") < minCosine, lit(1))).as("low")).head()
+    val (n, low) = (row.getLong(0), row.getLong(1))
+    val frac = if (n == 0) 0.0 else low.toDouble / n
+    if (frac > maxDriftFraction) {
+      val sample = corpus.select(col(idCol), col(vecCol))
+        .unionByName(fresh.select(col(idCol), col(vecCol)))
+        .filter(TextAnalysis.hashSampleFlag(col(idCol), "ivf-reseed",
+          lit(sampleRate16)))
+      val seeds = kmeansPlusPlusSeeds(sample, idCol, vecCol, k)
+      IvfUpdate(ivfAssignScored(fresh, vecCol, seeds, roundDigits),
+        seeds, reseeded = true, frac)
+    } else IvfUpdate(scored, centroids, reseeded = false, frac)
+  }
 
   /** One Lloyd refinement iteration, DataFrame-native: explode vector
     * components, average per (cluster, dim) — a single hash aggregate —

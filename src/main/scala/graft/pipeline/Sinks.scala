@@ -221,7 +221,7 @@ object Sinks {
     * post-commit, so nothing is in-flight). One body so a future fix to
     * the ordering/orphan rules cannot silently diverge the namespaces.
     */
-  private def compactNamespace(spark: SparkSession, nsDir: String,
+  private[graft] def compactNamespace(spark: SparkSession, nsDir: String,
       committedBatches: => Set[String], maxDirs: Int,
       mergeSchema: Boolean): Boolean = {
     val all = batchDirs(spark, nsDir)

@@ -75,16 +75,17 @@ object Streaming {
     * The reference gets the same guarantee from its serial oldest-first
     * listing (s3.rb:166); a parallel engine has to enforce it.
     */
-  /** The shared full-snapshot store behind [[Carry]] and
-    * [[StreamFingerprints]]: per-batch FULL snapshots under
-    * `<dir>/batch=<id>`; reads take the latest snapshot STRICTLY
-    * BEFORE a batch id (a retried batch never consults its own crashed
-    * partial write — only the committed predecessor); writes overwrite
-    * idempotently and retain this snapshot plus the previous two
-    * (enough for any retry of batchId or batchId+1 to find its
-    * strictly-earlier snapshot) — full snapshots, not deltas, so each
-    * state dir stays O(state), not O(batches). ONE body so the
-    * strictly-before and retention rules cannot drift between stores.
+  /** The full-snapshot store behind [[Carry]]: per-batch FULL
+    * snapshots under `<dir>/batch=<id>`; reads take the latest
+    * snapshot STRICTLY BEFORE a batch id (a retried batch never
+    * consults its own crashed partial write — only the committed
+    * predecessor); writes overwrite idempotently and retain this
+    * snapshot plus the previous two (enough for any retry of batchId
+    * or batchId+1 to find its strictly-earlier snapshot). Full
+    * snapshots are the RIGHT shape for the carry — its state is one
+    * row per ACTIVE conversation, not an ever-growing corpus set; the
+    * fingerprint seen-set, which IS corpus-sized, uses the delta +
+    * compaction design instead ([[StreamFingerprints]]).
     */
   private[streaming] object SnapshotStore {
     import org.apache.spark.sql.types.StructType
@@ -150,30 +151,95 @@ object Streaming {
       SnapshotStore.write(state, dir(sinkRoot), batchId)
   }
 
-  /** Streaming fingerprint store for cross-batch dedup — the [[Carry]]
-    * discipline applied to the seen-set: one FULL snapshot of all
-    * content fingerprints per micro-batch (not per-batch deltas, whose
-    * read fan-in would grow O(batches)), read strictly-before the
-    * current batch id so a retried batch never consults its own
-    * crashed partial write, retention = latest three snapshots. This
-    * is the streaming face of the batch pipeline's
-    * `_fingerprints/<cid>` store (PipelineConfig.dedupAcrossCycles) —
-    * same invariant, same `duplicate` sink, checkpoint-replay-safe by
-    * the same strictly-before rule.
+  /** Streaming fingerprint store for cross-batch dedup — per-batch
+    * DELTA dirs + threshold compaction, the batch pipeline's
+    * `_fingerprints/<cid>` design (Sinks.writeFingerprints /
+    * compactFingerprints) applied to the stream. Each micro-batch
+    * writes ONLY its own newly-seen content fingerprints (O(batch)
+    * rows — reRouteSeen guarantees a fp already in the seen-set never
+    * reaches a content sink, so deltas are disjoint by construction),
+    * NOT a full seen-set snapshot: a long-running stream's per-batch
+    * write cost stays bounded by the batch, not by the accumulated
+    * corpus. Read fan-in is bounded by [[compact]]: past `maxDirs`
+    * delta dirs, strictly-prior deltas fold into one distinct
+    * `compacted-` dir.
+    *
+    * Replay safety (the Carry strictly-before rule, per-dir): a read
+    * for batch B unions only delta dirs with id < B, so a retried
+    * batch never consults its own crashed partial write. Compacted
+    * dirs are ALWAYS safe to include: compaction at batch B folds only
+    * ids < B, and B is the only batch that can still retry (micro-
+    * batches are sequential — B runs only after B-1 committed), so
+    * every compacted dir covers strictly-prior batches for every
+    * possible reader. A crash between the compacted write and the
+    * input deletes only duplicates fps across dirs, which the reader
+    * side's distinct (reRouteSeen) absorbs.
     */
   object StreamFingerprints {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types._
 
     val schema: StructType = StructType(Seq(StructField("fp", StringType)))
 
     def dir(sinkRoot: String): String = s"$sinkRoot/stream/_fingerprints"
 
-    def read(spark: SparkSession, sinkRoot: String,
-        beforeBatch: Long): DataFrame =
-      SnapshotStore.read(spark, dir(sinkRoot), schema, beforeBatch)
+    /** (delta dirs as (id, path), compacted dirs as paths). */
+    private def listDirs(spark: SparkSession,
+        root: String): (Seq[(Long, String)], Seq[String]) = {
+      val d = new Path(root)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(d)) return (Seq.empty, Seq.empty)
+      val names = fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+      val (comp, delta) =
+        names.partition(_.getName.startsWith("batch=compacted-"))
+      (delta.map(p =>
+          (p.getName.stripPrefix("batch=").toLong, p.toString)),
+        comp.map(_.toString))
+    }
 
-    def write(merged: DataFrame, sinkRoot: String, batchId: Long): Unit =
-      SnapshotStore.write(merged, dir(sinkRoot), batchId)
+    /** The seen-set visible to batch `beforeBatch`: all compacted dirs
+      * plus deltas strictly before it. May contain duplicate fps after
+      * a crashed compaction — readers must tolerate (reRouteSeen
+      * distincts its seen side).
+      */
+    def read(spark: SparkSession, sinkRoot: String,
+        beforeBatch: Long): DataFrame = {
+      val (delta, comp) = listDirs(spark, dir(sinkRoot))
+      val dirs = comp ++ delta.filter(_._1 < beforeBatch).map(_._2)
+      if (dirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(dirs: _*)
+    }
+
+    /** Write THIS batch's new fps (already content-sink-filtered and
+      * distinct'd by the caller) as `batch=<id>` — idempotent per-batch
+      * overwrite, O(batch) rows.
+      */
+    def write(newFps: DataFrame, sinkRoot: String, batchId: Long): Unit =
+      newFps.write.mode("overwrite").parquet(s"${dir(sinkRoot)}/batch=$batchId")
+
+    /** Fold strictly-prior history into one distinct snapshot once the
+      * namespace exceeds `maxDirs` dirs — compacted dir written FIRST,
+      * only pre-listed dirs deleted (the Sinks.compactNamespace
+      * discipline). The CURRENT batch's own delta is never folded: it
+      * is the one dir a retry of `batchId` must not see.
+      */
+    def compact(spark: SparkSession, sinkRoot: String, batchId: Long,
+        maxDirs: Int = 64): Boolean = {
+      val (delta, comp) = listDirs(spark, dir(sinkRoot))
+      val foldable = comp ++ delta.filter(_._1 < batchId).map(_._2)
+      if (foldable.length <= maxDirs) return false
+      spark.read.schema(schema).parquet(foldable: _*).distinct()
+        .write.mode("overwrite")
+        .parquet(s"${dir(sinkRoot)}/batch=compacted-${System.nanoTime()}")
+      val conf = spark.sparkContext.hadoopConfiguration
+      foldable.foreach { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      true
+    }
   }
 
   /** Production shape: micro-batch = one reference polling cycle.
@@ -199,7 +265,8 @@ object Streaming {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 64,
       codec: Pipeline.Codec = Pipeline.GrokCodec,
-      dedupAcrossBatches: Boolean = false): StreamingQuery = {
+      dedupAcrossBatches: Boolean = false,
+      fpCompactDirs: Int = 64): StreamingQuery = {
     import spark.implicits._
     readTurns(spark, inputPath, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpoint)
@@ -291,18 +358,13 @@ object Streaming {
         // cross-batch dedup (opt-in): same invariant as the batch
         // pipeline's dedupAcrossCycles — rows whose fingerprint an
         // EARLIER batch delivered to a content sink re-route to the
-        // `duplicate` sink. The strictly-before snapshot read makes a
-        // retried batch route identically to its first attempt.
-        // ONE strictly-before snapshot read serves both the re-route
-        // join and the snapshot-out union (the seen-set grows with
-        // corpus cardinality — scanning it twice per batch is waste)
+        // `duplicate` sink. The strictly-before delta-union read makes
+        // a retried batch route identically to its first attempt. The
+        // seen-set has exactly ONE consumer now (the re-route join) —
+        // the delta write below touches only this batch's own rows
         val seenFps =
           if (dedupAcrossBatches)
-            // cached: the re-route join and the snapshot-out union both
-            // materialize it, and the seen-set grows with corpus
-            // cardinality — two physical scans would double the store's
-            // per-batch read cost
-            Some(StreamFingerprints.read(sess, sinkRoot, batchId).cache())
+            Some(StreamFingerprints.read(sess, sinkRoot, batchId))
           else None
         val published = seenFps match {
           case None => adjusted
@@ -320,16 +382,18 @@ object Streaming {
           .sortWithinPartitions(col("sink"), col("conv_id"), col("turn_idx"))
           .write.mode("overwrite").partitionBy("sink")
           .parquet(s"$sinkRoot/stream/batch=$batchId")
-        // fp snapshot-out: previous seen-set plus THIS batch's content
-        // fps (duplicate-sink rows are already in the previous set by
-        // construction; distinct bounds the snapshot by corpus
-        // cardinality)
-        seenFps.foreach { seen =>
+        // fp delta-out: ONLY this batch's newly-seen content fps —
+        // duplicate-sink rows are in an earlier delta by construction
+        // (that is why they re-routed), so the write is O(batch) rows
+        // no matter how large the accumulated corpus is. Threshold
+        // compaction then bounds the read fan-in at O(maxDirs) dirs.
+        if (dedupAcrossBatches) {
           val newFps = published
             .filter(col("sink").isin(Route.contentSinks: _*))
             .select(col(graft.ops.Dedup.fpColName).as("fp"))
-          StreamFingerprints.write(
-            seen.unionByName(newFps).distinct(), sinkRoot, batchId)
+            .distinct()
+          StreamFingerprints.write(newFps, sinkRoot, batchId)
+          StreamFingerprints.compact(sess, sinkRoot, batchId, fpCompactDirs)
         }
         // carry-out: the conv's state AT ITS LAST ROW of this batch
         // (header/session are running values, so max_by(., turn_idx) is
@@ -351,7 +415,6 @@ object Streaming {
           .unionByName(batchCarry)
         Carry.write(merged, sinkRoot, batchId)
         if (dedupAcrossBatches) published.unpersist()
-        seenFps.foreach(_.unpersist())
         adjusted.unpersist()
         prev.unpersist()
         flagged.unpersist()

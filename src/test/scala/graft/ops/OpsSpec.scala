@@ -719,4 +719,289 @@ class OpsSpec extends AnyFunSuite {
       Seq("n00"), "min id survives")
     fullRes.release()
   }
+
+  test("VideoCodec: synthetic MP4s decode to their closed forms on both " +
+      "version parities; hostile blobs (truncated, non-ftyp, corrupt " +
+      "2^32 size, undersized box) classify, never throw or hang") {
+    for (id <- 0L until 16L) {
+      val (w, h, ts, dur) = Multimodal.synthMp4Params(id)
+      val got = Multimodal.VideoCodec.decodeMp4(
+        Multimodal.synthMp4Payload(id))
+      assert(got.contains((w, h, dur * 1000L / ts)),
+        s"id=$id: got $got, want ($w, $h, ${dur * 1000L / ts})")
+    }
+    assert(Multimodal.VideoCodec.decodeMp4(null).isEmpty)
+    assert(Multimodal.VideoCodec.decodeMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.VideoCodec.decodeMp4(
+      "no ftyp anywhere in this blob".getBytes("US-ASCII")).isEmpty,
+      "the ftyp brand gate must reject non-MP4 payloads")
+    // truncated mid-moov: a valid payload cut right after the moov
+    // header — classify, don't throw
+    val full = Multimodal.synthMp4Payload(3L) // v1: ftyp ++ moov ++ mdat
+    assert(Multimodal.VideoCodec.decodeMp4(
+      java.util.Arrays.copyOf(full, 40)).isEmpty)
+    // corrupt size near 2^32: must TERMINATE (Long arithmetic clamps to
+    // the payload end; an Int truncation would advance by <= 0 forever)
+    val huge = java.nio.ByteBuffer.allocate(32)
+    huge.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    huge.putInt(0xFFFFFFF0).put("moov".getBytes("US-ASCII"))
+      .putLong(0L)
+    assert(Multimodal.VideoCodec.decodeMp4(huge.array()).isEmpty)
+    // a box declaring size < header (would not advance): corrupt
+    val tiny = java.nio.ByteBuffer.allocate(32)
+    tiny.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    tiny.putInt(5).put("moov".getBytes("US-ASCII")).putLong(0L)
+    assert(Multimodal.VideoCodec.decodeMp4(tiny.array()).isEmpty)
+    // size==0 (box extends to end of enclosure): patch the moov size of
+    // a valid v1 payload to 0 — the walk must still find mvhd + tkhd
+    // (the mdat bytes after them parse as an unknown child and skip)
+    val zeroSized = full.clone()
+    assert(new String(zeroSized, 20, 4, "US-ASCII") == "moov",
+      "fixture layout: moov directly after the 16-byte ftyp")
+    zeroSized(16) = 0; zeroSized(17) = 0; zeroSized(18) = 0; zeroSized(19) = 0
+    val (w3, h3, ts3, dur3) = Multimodal.synthMp4Params(3L)
+    assert(Multimodal.VideoCodec.decodeMp4(zeroSized)
+      .contains((w3, h3, dur3 * 1000L / ts3)),
+      "a size==0 moov covers the rest of the file and still parses")
+  }
+
+  test("VideoCodec skips sound traks (0x0 tkhd dims) and requires both " +
+      "mvhd and a video trak") {
+    // hand-assembled: ftyp + moov{mvhd v0, ONE sound trak} -> no dims
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000)
+      java.util.Arrays.copyOf(bb.array(), 20)
+    }
+    val tkhdSound = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0) // version 0
+      bb.put(new Array[Byte](72)) // times/ids/duration/reserved/matrix
+      bb.putInt(0).putInt(0) // width = height = 0: a sound track
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val soundOnly = ftyp ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhdSound)))
+    assert(Multimodal.VideoCodec.decodeMp4(soundOnly).isEmpty,
+      "an audio-only MP4 has no video dims to report")
+    // and a moov with a trak but NO mvhd -> no duration -> None
+    val tkhdVideo = tkhdSound.clone()
+    val bbv = java.nio.ByteBuffer.wrap(tkhdVideo)
+    bbv.putInt(76, 320 << 16); bbv.putInt(80, 240 << 16)
+    val noMvhd = ftyp ++ box("moov", box("trak", box("tkhd", tkhdVideo)))
+    assert(Multimodal.VideoCodec.decodeMp4(noMvhd).isEmpty)
+  }
+
+  test("AudioCodec rejects a truncated `fmt ` chunk (declared size < 16) " +
+      "instead of reading the next chunk's header bytes as metadata") {
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    // fmt declares size 12 — the chunk payload ends before block-align/
+    // bits, which land inside the following data chunk's header
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(12)
+    bb.putShort(1.toShort).putShort(2.toShort).putInt(44100)
+      .putInt(44100 * 4)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+    bb.put(new Array[Byte](8))
+    assert(Multimodal.AudioCodec.decodeWav(
+      java.util.Arrays.copyOf(bb.array(), bb.position())).isEmpty,
+      "a truncated fmt chunk must classify as undecodable, not decode " +
+        "with garbage channel/rate/bits")
+  }
+
+  test("BPE: the once-through rank fold equals the TEXTBOOK reference " +
+      "(lowest-rank pair, leftmost, one merge per step) on randomized " +
+      "words; the merges table is layered; overlap self-pairs fold " +
+      "non-overlapping") {
+    // layering invariant: every multi-char element is the output of a
+    // strictly-earlier merge — the property the once-through fold
+    // relies on (Bpe.scala's equivalence argument)
+    val outputs = Bpe.merges.map { case (a, b) => a + b }
+    Bpe.merges.zipWithIndex.foreach { case ((a, b), r) =>
+      for (el <- Seq(a, b) if el.length > 1) {
+        val creator = outputs.indexOf(el)
+        assert(creator >= 0 && creator < r,
+          s"merge $r ($a,$b): element '$el' must be created by an " +
+            s"earlier rank, found $creator")
+      }
+    }
+    // overlap semantics: the self-pair (o, o) folds left-greedy
+    def sparkToks(ws: Seq[String]): Map[String, Seq[String]] =
+      ws.toDF("w")
+        .select($"w", Bpe.tokenizeWord($"w").as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fixed = sparkToks(Seq("ooo", "oooo", "ooooo", "the", "standing",
+      "thermal", "120012", "llama", "atoll"))
+    assert(fixed("ooo") == Seq("oo", "o"))
+    assert(fixed("oooo") == Seq("oo", "oo"),
+      "greedy left fold, never the overlapping [o, oo, o]")
+    assert(fixed("ooooo") == Seq("oo", "oo", "o"))
+    assert(fixed("the") == Seq("the"))
+    // randomized equivalence against the driver-side textbook loop
+    val rng = new scala.util.Random(42)
+    val alphabet = "aeilnorstdgh012o" // bias toward merge-active chars
+    val words = Seq.fill(80)(
+      (0 to rng.nextInt(11)).map(_ => alphabet(rng.nextInt(alphabet.length)))
+        .mkString).filter(_.nonEmpty).distinct
+    val got = sparkToks(words)
+    for (w <- words)
+      assert(got(w) == Bpe.tokenizeReference(w),
+        s"word '$w': fold ${got(w)} != textbook ${Bpe.tokenizeReference(w)}")
+  }
+
+  test("ivfAssignExpr round-before-argmax: a constructed near-tie is " +
+      "ulp-decided unrounded but collapses to the deterministic " +
+      "largest-cid tie-break when rounded") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    // components one float ulp apart: the two cosines differ by ~6e-8 —
+    // below the 6-digit rounding grain, above float64 noise
+    val b = 0.7071068f
+    val a = Math.nextUp(b)
+    val df = Seq((10L, Seq(a, b))).toDF("vec_id", "embedding")
+    val unrounded = df.select(
+      Similarity.ivfAssignExpr($"embedding", cents).as("c")).head().getLong(0)
+    val rounded = df.select(
+      Similarity.ivfAssignExpr($"embedding", cents, roundDigits = 6)
+        .as("c")).head().getLong(0)
+    assert(unrounded == 1L,
+      "unrounded: the one-ulp-larger first component wins")
+    assert(rounded == 2L,
+      "rounded: the scores tie at 6 digits and break to the largest cid " +
+        "— the cross-engine-stable behavior e04/e05 now replay")
+    // the rounded scores really are equal (the tie is not accidental)
+    val scores = df.select(
+      round(Similarity.cosineWithLiteral($"embedding", Seq(1.0, 0.0)), 6),
+      round(Similarity.cosineWithLiteral($"embedding", Seq(0.0, 1.0)), 6))
+      .head()
+    assert(scores.getDouble(0) == scores.getDouble(1))
+  }
+
+  test("incrementalIvf: a well-fitting batch keeps the frozen index; a " +
+      "drifted batch trips the floor, re-seeds via kmeans++ over the " +
+      "hash sample, and re-assigns") {
+    def noisy(base: Seq[Float], id: Long): Seq[Float] = {
+      val rng = new scala.util.Random(id)
+      base.map(x => x + 0.01f * rng.nextFloat())
+    }
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val corpus = (0L until 20L).map(i => (i, noisy(e1, i)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 2)
+    val near = (100L until 110L).map(i => (i, noisy(e1, i)))
+      .toDF("vec_id", "embedding")
+    val keep = Similarity.incrementalIvf(corpus, near, "vec_id",
+      "embedding", cents, k = 2)
+    assert(!keep.reseeded && keep.driftFraction == 0.0,
+      "a batch from the indexed distribution keeps the frozen centroids")
+    assert(keep.centroids == cents)
+    val far = (200L until 210L).map(i => (i, noisy(e2, i)))
+      .toDF("vec_id", "embedding")
+    val reseed = Similarity.incrementalIvf(corpus, far, "vec_id",
+      "embedding", cents, k = 2)
+    assert(reseed.reseeded && reseed.driftFraction == 1.0,
+      "an orthogonal batch drifts every vector below the floor")
+    assert(reseed.centroids != cents, "re-seed picked new centroids")
+    // after re-seeding over corpus+batch, the drifted region is covered:
+    // every re-assigned vector now sits close to some centroid
+    val minCos = reseed.assigned.agg(min($"ivf_cosine")).head().getDouble(0)
+    assert(minCos > 0.9,
+      s"re-seeded index must cover the drifted region, min cosine $minCos")
+  }
+
+  test("compactPairs/compactBands fold committed dirs past the " +
+      "threshold: one compacted survivor, identical read set, orphans " +
+      "deleted, crash-window duplicates tolerated") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dedupcompact").toString
+    val committed = (0 until 5).map(i => s"b$i").toSet
+    for (i <- 0 until 5)
+      Dedup.writePairs(Seq((s"d$i", s"d${i + 10}")).toDF("id_a", "id_b"),
+        root, "c1", s"b$i")
+    Dedup.writePairs(Seq(("zz", "zy")).toDF("id_a", "id_b"),
+      root, "c1", "neverCommitted")
+    def pairSet() = Dedup.readPairs(spark, root, "c1", committed).get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val before = pairSet()
+    assert(before.size == 5 && !before.contains(("zz", "zy")),
+      "orphan rows are invisible to the committed reader")
+    assert(!Dedup.compactPairs(spark, root, "c1", committed, maxDirs = 64),
+      "below the threshold: no-op")
+    assert(Dedup.compactPairs(spark, root, "c1", committed, maxDirs = 2))
+    val dirs = new java.io.File(s"$root/_pairs/c1").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs.length == 1 && dirs.head.startsWith("batch=compacted-"),
+      s"expected one compacted survivor, got $dirs")
+    assert(pairSet() == before, "the committed pair set is unchanged")
+    // bands: same discipline, (band, sig, id) distinct preserved
+    for (i <- 0 until 3)
+      Dedup.writeBands(
+        Seq((0, s"sig$i", s"d$i"), (0, "shared", s"d$i"))
+          .toDF("band", "sig", "doc_id"),
+        root, "c1", s"b$i", "doc_id")
+    val bandCommitted = (0 until 3).map(i => s"b$i").toSet
+    def bandSet() = Dedup.readBands(spark, root, "c1", bandCommitted).get
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSet
+    val bandsBefore = bandSet()
+    assert(Dedup.compactBands(spark, root, "c1", bandCommitted, maxDirs = 1))
+    assert(bandSet() == bandsBefore)
+    // crash window: a second compacted dir coexisting (interrupted run)
+    // only duplicates rows — readPairs' distinct absorbs it
+    Dedup.readPairs(spark, root, "c1", committed).get
+      .write.mode("overwrite")
+      .parquet(s"$root/_pairs/c1/batch=compacted-999")
+    assert(pairSet() == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("compactClusters retains only the current label GENERATION " +
+      "(label tables supersede — a row fold would fabricate " +
+      "multi-label ids)") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "clustercompact").toString
+    for (g <- 0 until 3)
+      Seq(("a", "a", true), ("b", "a", false))
+        .toDF("id", "cluster_id", "keep")
+        .write.parquet(s"$root/_clusters/c1/batch=g$g")
+    assert(!Dedup.compactClusters(spark, root, "c1", keep = "g2",
+      maxDirs = 64), "below the threshold: no-op")
+    assert(Dedup.compactClusters(spark, root, "c1", keep = "g2",
+      maxDirs = 1))
+    val dirs = new java.io.File(s"$root/_clusters/c1").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq("batch=g2"),
+      s"only the current generation survives, got $dirs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("incrementalLshPairs dedupes re-ingested (band, sig, id) rows: " +
+      "the skew cap sees TRUE bucket sizes, not inflated ones") {
+    val stored = Seq((0, "s", "d1"), (0, "s", "d2"), (0, "s", "d3"))
+      .toDF("band", "sig", "doc_id")
+    // d3 re-ingested: present in the stored state AND the new batch
+    val fresh = Seq((0, "s", "d3"), (0, "s", "d4"))
+      .toDF("band", "sig", "doc_id")
+    // true bucket = {d1..d4}, size 4 == maxBucket: without the
+    // distinct, the double-counted d3 reads size 5 and the cap DROPS
+    // the bucket — zero pairs where the from-scratch run finds five
+    val pairs = Dedup.incrementalLshPairs(stored, fresh, "doc_id",
+      maxBucket = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("d1", "d3"), ("d1", "d4"), ("d2", "d3"),
+      ("d2", "d4"), ("d3", "d4")),
+      s"all new-involving pairs of the true bucket, got $pairs")
+  }
 }

@@ -241,12 +241,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"conv_id").collect().map(_.getString(0)).sorted.toSeq
     assert(users == Seq("a1", "a2", "b2"),
       s"novel rows keep their content sink, got $users")
-    // snapshot store: full seen-set per batch, strictly-before reads
+    // delta store: each batch's dir holds ONLY its own new fps —
+    // O(batch) write cost, not O(corpus)
+    val fp0 = spark.read.parquet(
+      s"${Streaming.StreamFingerprints.dir(sinkRoot)}/batch=0")
     val fp1 = spark.read.parquet(
       s"${Streaming.StreamFingerprints.dir(sinkRoot)}/batch=1")
-    assert(fp1.count() == 3L, "snapshot 1 = {tA, tB, tC}")
+    assert(fp0.count() == 2L, "delta 0 = {tA, tB}")
+    assert(fp1.count() == 1L, "delta 1 = {tC} only — the duplicate tA " +
+      "is NOT re-recorded and the prior set is NOT rewritten")
     assert(Streaming.StreamFingerprints.read(spark, sinkRoot, 1).count() == 2L,
-      "a batch consults only STRICTLY earlier snapshots")
+      "a batch consults only STRICTLY earlier deltas")
+    assert(Streaming.StreamFingerprints.read(spark, sinkRoot, 2).count() == 3L,
+      "the union of deltas is the full seen-set")
+  }
+
+  test("StreamFingerprints delta store: per-batch O(batch) writes, " +
+      "strictly-before reads, threshold compaction that never folds " +
+      "the current batch, crash-window duplicate tolerance") {
+    val root = s"$scratch/fp_unit"
+    def delta(fps: String*) = fps.toDF("fp")
+    // five batches, one new fp each — every delta dir is 1 row
+    for (b <- 0L to 4L)
+      Streaming.StreamFingerprints.write(delta(s"fp$b"), root, b)
+    for (b <- 0L to 4L)
+      assert(spark.read.parquet(
+        s"${Streaming.StreamFingerprints.dir(root)}/batch=$b").count() == 1L,
+        s"delta $b must hold only its own rows")
+    assert(Streaming.StreamFingerprints.read(spark, root, 3L)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("fp0", "fp1", "fp2"),
+      "read strictly-before 3 = deltas 0..2")
+    // compaction at batch 5 folds only ids < 5; batch=4... all of 0..4
+    // are < 5, so with maxDirs=2 they fold into one compacted dir
+    assert(Streaming.StreamFingerprints.compact(spark, root, 5L, maxDirs = 2))
+    val dirs = new java.io.File(Streaming.StreamFingerprints.dir(root))
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs.length == 1 && dirs.head.startsWith("batch=compacted-"),
+      s"five deltas folded into one compacted dir, got $dirs")
+    assert(Streaming.StreamFingerprints.read(spark, root, 5L)
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      (0 to 4).map(i => s"fp$i"),
+      "the folded seen-set is unchanged")
+    // the CURRENT batch's delta is never folded (a retry of that batch
+    // must not see its own write): batch 5 writes, compacts — its dir
+    // survives even past the threshold
+    Streaming.StreamFingerprints.write(delta("fp5"), root, 5L)
+    Streaming.StreamFingerprints.compact(spark, root, 5L, maxDirs = 0)
+    val after = new java.io.File(Streaming.StreamFingerprints.dir(root))
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(after.contains("batch=5"),
+      s"batch 5's own delta must survive its own compaction, got $after")
+    assert(Streaming.StreamFingerprints.read(spark, root, 5L)
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      (0 to 4).map(i => s"fp$i"),
+      "a retry of batch 5 still sees exactly the prior set")
+    // crash window: compacted dir written but inputs not yet deleted ->
+    // duplicate fps across dirs; the reader tolerates (reRouteSeen
+    // distincts), and the SET is unchanged
+    Streaming.StreamFingerprints.read(spark, root, 6L).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${Streaming.StreamFingerprints.dir(root)}/batch=compacted-999")
+    val set = Streaming.StreamFingerprints.read(spark, root, 6L)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(set == (0 to 5).map(i => s"fp$i"),
+      "coexisting compacted dirs only duplicate rows, never change the set")
   }
 
   test("multiline what=next records survive the micro-batch seam: the " +
