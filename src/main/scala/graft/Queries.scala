@@ -1417,7 +1417,7 @@ object Queries {
   def e06(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
-    Similarity.ivfAssign(emb, "embedding", cents)
+    Similarity.ivfAssign(emb, "embedding", cents, roundDigits = 6)
       .select(col("ivf_cluster"),
         posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy(col("ivf_cluster"), col("d").cast("long").as("d"))
@@ -1438,7 +1438,8 @@ object Queries {
        a AS (SELECT vec_id, cid FROM (
                   SELECT dots.vec_id, dots.cid,
                   row_number() OVER (PARTITION BY dots.vec_id
-                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
                   FROM dots JOIN bn ON bn.vec_id = dots.vec_id
                   JOIN cn ON cn.cid = dots.cid) WHERE rn = 1)
        SELECT a.cid AS ivf_cluster, be.i - 1 AS d,
@@ -1480,7 +1481,8 @@ object Queries {
        a1 AS (SELECT vec_id, cid FROM (
                   SELECT d1.vec_id, d1.cid,
                   row_number() OVER (PARTITION BY d1.vec_id
-                    ORDER BY d1.d / (bn.n * cn.n) DESC, d1.cid DESC) AS rn
+                    ORDER BY round(d1.d / (bn.n * cn.n), 6) DESC,
+                             d1.cid DESC) AS rn
                   FROM d1 JOIN bn ON bn.vec_id = d1.vec_id
                   JOIN cn ON cn.cid = d1.cid) WHERE rn = 1),
        m1 AS (SELECT a1.cid, be.i, round(avg(be.v::DOUBLE), 6) AS v
@@ -1491,7 +1493,8 @@ object Queries {
        a2 AS (SELECT vec_id, cid FROM (
                   SELECT d2.vec_id, d2.cid,
                   row_number() OVER (PARTITION BY d2.vec_id
-                    ORDER BY d2.d / (bn.n * m1n.n) DESC, d2.cid DESC) AS rn
+                    ORDER BY round(d2.d / (bn.n * m1n.n), 6) DESC,
+                             d2.cid DESC) AS rn
                   FROM d2 JOIN bn ON bn.vec_id = d2.vec_id
                   JOIN m1n ON m1n.cid = d2.cid) WHERE rn = 1)
        SELECT a2.cid AS ivf_cluster, be.i - 1 AS d,
@@ -1515,7 +1518,7 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val cents = Similarity.kmeansPlusPlusSeeds(emb, "vec_id", "embedding",
       e09K)
-    Similarity.ivfAssign(emb, "embedding", cents)
+    Similarity.ivfAssign(emb, "embedding", cents, roundDigits = 6)
       .groupBy(col("ivf_cluster"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("ivf_cluster"))
@@ -1574,7 +1577,8 @@ object Queries {
                 FROM be JOIN ce ON be.i = ce.i GROUP BY be.vec_id, ce.cid),
        scored AS (SELECT dots.vec_id, dots.cid,
                   row_number() OVER (PARTITION BY dots.vec_id
-                    ORDER BY dots.d / (bn.n * cn.n) DESC, dots.cid DESC) AS rn
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
                   FROM dots JOIN bn ON bn.vec_id = dots.vec_id
                   JOIN cn ON cn.cid = dots.cid)
        SELECT cid AS ivf_cluster, count(*) AS n_vectors

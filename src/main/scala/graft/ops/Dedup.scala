@@ -473,6 +473,13 @@ object Dedup {
     val all = graft.pipeline.Sinks.batchDirs(spark,
       s"$root/_clusters/$corpusId")
     if (all.length <= maxDirs) return false
+    // fail CLOSED before any delete: a `keep` that names no existing
+    // dir (typo, or a generation whose writeClusters failed) would
+    // otherwise delete EVERY generation — the retention pass must
+    // never be able to empty the store
+    require(all.exists(_.endsWith(s"batch=$keep")),
+      s"compactClusters: keep generation 'batch=$keep' does not exist " +
+        s"under _clusters/$corpusId — refusing to delete anything")
     val conf = spark.sparkContext.hadoopConfiguration
     all.filterNot(_.endsWith(s"batch=$keep")).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -497,14 +504,15 @@ object Dedup {
     */
   def incrementalLshPairs(storedBands: DataFrame, newBands: DataFrame,
       idCol: String, maxBucket: Int = 1000): DataFrame = {
-    // distinct on (band, sig, id): a document present in BOTH sides
-    // (re-ingestion of an already-committed doc) must not double-count
-    // in bucket sizes — an inflated size could fire the maxBucket skew
-    // cap where a from-scratch run would not, breaking the documented
-    // bucket-for-bucket exactness
+    // a document present in BOTH sides (re-ingestion of an
+    // already-committed doc) CANNOT double-count in bucket sizes: the
+    // bucket aggregate is size(collect_set(id)) — set semantics — so
+    // duplicated (band, sig, id) rows collapse before the maxBucket
+    // skew cap reads the size (OpsSpec pins re-ingestion behavior). No
+    // distinct here: it would add a full extra exchange over the
+    // stored band table on exactly the path this operator keeps narrow.
     val all = storedBands.select(col("band"), col("sig"), col(idCol))
       .unionByName(newBands.select(col("band"), col("sig"), col(idCol)))
-      .distinct()
     // buckets that gained a new member — the only place a new pair can
     // appear; everything else is pruned before any pair expansion
     val touched = newBands.select(col("band"), col("sig")).distinct()

@@ -174,6 +174,19 @@ object Similarity {
     seeds
   }
 
+  /** The ONE definition of the (score, cid) candidate structs behind
+    * every assignment surface — a single body so the rounding and
+    * tie-break discipline cannot drift between [[ivfAssignExpr]] (the
+    * cluster-only form) and [[ivfAssignScored]] (cluster + score).
+    */
+  private def scoredStructs(vec: Column,
+      centroids: Seq[(Long, Seq[Double])], roundDigits: Int): Seq[Column] =
+    centroids.map { case (cid, cvec) =>
+      val raw = cosineWithLiteral(vec, cvec)
+      val s = if (roundDigits >= 0) round(raw, roundDigits) else raw
+      struct(s.as("s"), lit(cid).as("cid"))
+    }
+
   /** Argmax-cosine cluster id over literal centroids.
     *
     * `roundDigits >= 0` rounds each cosine BEFORE the argmax (the
@@ -183,21 +196,17 @@ object Similarity {
     * in a different order — with rounding, such near-ties collapse to
     * EQUAL scores and break deterministically to the largest cid in
     * every engine (OpsSpec pins this on a constructed near-tie
-    * fixture; e04/e05 replay the rounded chain in SQL). The default
-    * (-1, unrounded) keeps exact scores for single-engine use.
+    * fixture). EVERY oracle-replayed chain passes 6 (e04-e06,
+    * e08-e10 and [[kmeans]] internally); the unrounded default (-1)
+    * is for single-engine callers that want exact scores.
     */
   def ivfAssignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])],
-      roundDigits: Int = -1): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      val raw = cosineWithLiteral(vec, cvec)
-      val s = if (roundDigits >= 0) round(raw, roundDigits) else raw
-      struct(s.as("s"), lit(cid).as("cid"))
-    }
+      roundDigits: Int = -1): Column =
     // array_max picks the lexicographically-largest (score, cid) struct:
     // highest cosine wins; ties break to the LARGEST cid — mirror that
     // exactly in any oracle.
-    array_max(array(scored: _*)).getField("cid")
-  }
+    array_max(array(scoredStructs(vec, centroids, roundDigits): _*))
+      .getField("cid")
 
   def ivfAssign(df: DataFrame, vecCol: String,
       centroids: Seq[(Long, Seq[Double])],
@@ -213,17 +222,13 @@ object Similarity {
     */
   def ivfAssignScored(df: DataFrame, vecCol: String,
       centroids: Seq[(Long, Seq[Double])],
-      roundDigits: Int = -1): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      val raw = cosineWithLiteral(col(vecCol), cvec)
-      val s = if (roundDigits >= 0) round(raw, roundDigits) else raw
-      struct(s.as("s"), lit(cid).as("cid"))
-    }
-    df.withColumn("_best", array_max(array(scored: _*)))
+      roundDigits: Int = -1): DataFrame =
+    df.withColumn("_best",
+      array_max(array(
+        scoredStructs(col(vecCol), centroids, roundDigits): _*)))
       .withColumn("ivf_cluster", col("_best").getField("cid"))
       .withColumn("ivf_cosine", col("_best").getField("s"))
       .drop("_best")
-  }
 
   /** One incremental IVF maintenance step — the ANN family's analog of
     * the dedup family's incremental story ([[Dedup.incrementalLshPairs]]
@@ -297,18 +302,21 @@ object Similarity {
 
   /** Iterated Lloyd/k-means: `iters` rounds of (assign -> means), each a
     * narrow codegen'd assignment map plus ONE hash aggregate; only the
-    * k x d centroid matrix ever reaches the driver. Centroid means are
-    * rounded to `roundDigits` between iterations so every iteration's
-    * inputs are reproducible across engines (an unrounded float64 mean
-    * depends on partition-level summation order; the rounded value is
-    * the cross-engine fixpoint e06 verifies). Returns the final
-    * centroids.
+    * k x d centroid matrix ever reaches the driver. `roundDigits`
+    * applies at BOTH engine-sensitive points: centroid means are
+    * rounded between iterations (an unrounded float64 mean depends on
+    * partition-level summation order) AND the assignment argmax rounds
+    * before comparing (the near-tie discipline) — so every iteration's
+    * inputs and every cluster membership are reproducible across
+    * engines (the cross-engine fixpoint e06/e08 verify). Returns the
+    * final centroids.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, dims: Int, roundDigits: Int = 6): Seq[(Long, Seq[Double])] = {
     var cents = ivfCentroids(df, idCol, vecCol, k)
     for (_ <- 1 to iters)
-      cents = kmeansIteration(ivfAssign(df, vecCol, cents), vecCol, dims,
+      cents = kmeansIteration(
+        ivfAssign(df, vecCol, cents, roundDigits), vecCol, dims,
         roundDigits)
     cents
   }

@@ -984,19 +984,30 @@ class OpsSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("batch=")).toSeq
     assert(dirs == Seq("batch=g2"),
       s"only the current generation survives, got $dirs")
+    // fail CLOSED: a keep that names no existing generation (typo, or
+    // a writeClusters that threw) must refuse to delete ANYTHING —
+    // otherwise the retention pass could empty the whole store
+    intercept[IllegalArgumentException] {
+      Dedup.compactClusters(spark, root, "c1", keep = "noSuchGen",
+        maxDirs = 0)
+    }
+    assert(new java.io.File(s"$root/_clusters/c1").listFiles()
+      .map(_.getName).count(_.startsWith("batch=")) == 1,
+      "the refused compaction deleted nothing")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
-  test("incrementalLshPairs dedupes re-ingested (band, sig, id) rows: " +
-      "the skew cap sees TRUE bucket sizes, not inflated ones") {
+  test("incrementalLshPairs: a re-ingested (band, sig, id) row cannot " +
+      "inflate bucket sizes past the skew cap (collect_set semantics)") {
     val stored = Seq((0, "s", "d1"), (0, "s", "d2"), (0, "s", "d3"))
       .toDF("band", "sig", "doc_id")
     // d3 re-ingested: present in the stored state AND the new batch
     val fresh = Seq((0, "s", "d3"), (0, "s", "d4"))
       .toDF("band", "sig", "doc_id")
-    // true bucket = {d1..d4}, size 4 == maxBucket: without the
-    // distinct, the double-counted d3 reads size 5 and the cap DROPS
-    // the bucket — zero pairs where the from-scratch run finds five
+    // true bucket = {d1..d4}, size 4 == maxBucket: the bucket aggregate
+    // is size(collect_set(id)), so the doubled d3 row must NOT read
+    // size 5 and trip the cap — that would drop the bucket and emit
+    // zero pairs where the from-scratch run finds five
     val pairs = Dedup.incrementalLshPairs(stored, fresh, "doc_id",
       maxBucket = 4)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
