@@ -256,7 +256,11 @@ object Multimodal {
         } else if (size32 == 0L) (8L, limit - i) // to end of enclosure
         else (8L, size32)
       if (size < hdr) return None // would not advance: corrupt
-      Some((typ, i + hdr, math.min(i + size, limit)))
+      // overflow-safe end: a crafted largesize near Long.MaxValue would
+      // wrap `i + size` negative and send the walker to a garbage offset;
+      // anything reaching past the enclosure clamps to it instead.
+      val end = if (size >= limit - i) limit else i + size
+      Some((typ, i + hdr, end))
     }
 
     /** (width, height, duration_ms) from an MP4 payload; None for
@@ -305,7 +309,12 @@ object Multimodal {
         case 0 if b + 20 <= e =>
           Some((be32(p, b.toInt + 12), be32(p, b.toInt + 16)))
         case 1 if b + 32 <= e =>
-          Some((be32(p, b.toInt + 20), be64(p, b.toInt + 24)))
+          // hostile v1 duration (sign bit set, or > Long.MaxValue/1000)
+          // would overflow the later `dur * 1000 / ts` into a plausible
+          // garbage duration_ms — classify as undecodable instead
+          val dur = be64(p, b.toInt + 24)
+          if (dur < 0L || dur > Long.MaxValue / 1000L) None
+          else Some((be32(p, b.toInt + 20), dur))
         case _ => None
       }
     }

@@ -222,13 +222,19 @@ object Similarity {
     */
   def ivfAssignScored(df: DataFrame, vecCol: String,
       centroids: Seq[(Long, Seq[Double])],
-      roundDigits: Int = -1): DataFrame =
-    df.withColumn("_best",
+      roundDigits: Int = -1): DataFrame = {
+    // collision-free temp name: an input already carrying `_best` must
+    // survive untouched rather than be silently shadowed and dropped
+    val tmp = Iterator.from(0)
+      .map(i => if (i == 0) "_best" else s"_best$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tmp,
       array_max(array(
         scoredStructs(col(vecCol), centroids, roundDigits): _*)))
-      .withColumn("ivf_cluster", col("_best").getField("cid"))
-      .withColumn("ivf_cosine", col("_best").getField("s"))
-      .drop("_best")
+      .withColumn("ivf_cluster", col(tmp).getField("cid"))
+      .withColumn("ivf_cosine", col(tmp).getField("s"))
+      .drop(tmp)
+  }
 
   /** One incremental IVF maintenance step — the ANN family's analog of
     * the dedup family's incremental story ([[Dedup.incrementalLshPairs]]

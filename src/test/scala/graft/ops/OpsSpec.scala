@@ -888,6 +888,71 @@ class OpsSpec extends AnyFunSuite {
     assert(scores.getDouble(0) == scores.getDouble(1))
   }
 
+  test("VideoCodec: a 64-bit largesize near Long.MaxValue cannot wrap " +
+      "the walker negative, and a hostile v1 mvhd duration that would " +
+      "overflow the ms conversion classifies as undecodable") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    // size32==1 with largesize = Long.MaxValue: without overflow-safe
+    // end arithmetic, i + size wraps negative and i.toInt lands at a
+    // garbage offset (AIOOBE or a ~2^60-step spin)
+    val big64 = java.nio.ByteBuffer.allocate(ftyp.length + 24)
+    big64.put(ftyp).putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(Long.MaxValue).putLong(0L)
+    assert(Multimodal.VideoCodec.decodeMp4(big64.array()).isEmpty,
+      "hostile largesize must terminate, classify empty")
+    def mvhdV1(dur: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(1 << 24) // version 1, flags 0
+      bb.put(new Array[Byte](16)) // 64-bit creation + modification
+      bb.putInt(1000) // timescale at +20
+      bb.putLong(dur) // duration at +24
+      bb.array()
+    }
+    val tkhdVideo = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0)
+      bb.put(new Array[Byte](72))
+      bb.putInt(320 << 16).putInt(240 << 16)
+      bb.array()
+    }
+    def mp4(dur: Long): Array[Byte] = ftyp ++ box("moov",
+      box("mvhd", mvhdV1(dur)) ++ box("trak", box("tkhd", tkhdVideo)))
+    // sanity: the same structure with a sane duration decodes
+    assert(Multimodal.VideoCodec.decodeMp4(mp4(5000L))
+      .contains((320, 240, 5000L)))
+    // dur * 1000 would overflow Long: reject, don't emit plausible junk
+    assert(Multimodal.VideoCodec.decodeMp4(mp4(Long.MaxValue)).isEmpty)
+    assert(Multimodal.VideoCodec.decodeMp4(
+      mp4(Long.MaxValue / 1000L + 1L)).isEmpty)
+    // sign bit set (be64 reads negative): equally hostile
+    assert(Multimodal.VideoCodec.decodeMp4(mp4(Long.MinValue)).isEmpty)
+    // the exact boundary still decodes (the guard is not over-broad)
+    val atMax = Long.MaxValue / 1000L
+    assert(Multimodal.VideoCodec.decodeMp4(mp4(atMax))
+      .contains((320, 240, atMax * 1000L / 1000L)))
+  }
+
+  test("ivfAssignScored leaves a pre-existing `_best` column untouched " +
+      "instead of shadowing and dropping it") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val df = Seq((10L, Seq(1f, 0f), "mine"))
+      .toDF("vec_id", "embedding", "_best")
+    val out = Similarity.ivfAssignScored(df, "embedding", cents,
+      roundDigits = 6)
+    assert(out.columns.count(_ == "_best") == 1)
+    val row = out.select($"_best", $"ivf_cluster").head()
+    assert(row.getString(0) == "mine",
+      "the caller's `_best` column must survive")
+    assert(row.getLong(1) == 1L)
+  }
+
   test("incrementalIvf: a well-fitting batch keeps the frozen index; a " +
       "drifted batch trips the floor, re-seeds via kmeans++ over the " +
       "hash sample, and re-assigns") {
