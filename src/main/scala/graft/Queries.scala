@@ -985,6 +985,40 @@ object Queries {
        SELECT id_a, id_b FROM pairs
        WHERE id_a >= 250 OR id_b >= 250 ORDER BY id_a, id_b"""
 
+  /** Incremental cluster maintenance (d23): the d21 ingest split taken
+    * all the way to labels — resolve clusters over the OLD corpus's
+    * pairs, then fold the incremental batch's pairs in with
+    * [[Dedup.mergeClusters]] (star-edge contraction over the resolved
+    * labels + the new pairs — the historical pair set is never
+    * re-read). Because old-pairs ∪ incremental-pairs is EXACTLY the
+    * full-corpus pair set (d21's proven restriction), the merged
+    * labels must equal a from-scratch resolution over the full graph —
+    * which is precisely what the oracle derives independently: DuckDB
+    * recursive reachability over the full-corpus pair CTEs (the d18
+    * oracle). The incremental path can therefore never drift from the
+    * batch path without this query going red.
+    */
+  def d23(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def bandsOf(df: DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
+    val stored = bandsOf(docs.filter(col("doc_id") < 250))
+    val incoming = bandsOf(docs.filter(col("doc_id") >= 250))
+    val oldPairs = Dedup.lshCandidatePairs(stored, "doc_id")
+    val newPairs = Dedup.incrementalLshPairs(stored, incoming, "doc_id")
+    val base = Dedup.resolveClusters(oldPairs)
+    val merged = Dedup.mergeClusters(base, newPairs)
+    merged.labels
+      .select(col("id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reachability over the FULL pair graph — the d18 oracle verbatim:
+    * the incremental two-step derivation must land on the same labels.
+    */
+  val d23Sql: String = d18Sql
+
   /** Deterministic merges-table BPE token counts (d22): per DISTINCT
     * corpus word, its occurrence count and its BPE token count under
     * the shared layered merges table ([[graft.ops.Bpe]]). The Spark
@@ -1524,50 +1558,67 @@ object Queries {
       .orderBy(col("ivf_cluster"))
   }
 
-  lazy val e09Sql: String = {
-    // distance-to-seed CTE: rounded cosine distance of every CANDIDATE
-    // vector to stage n's single seed (the seed row itself included,
-    // d = 0). `bn.n > 0` mirrors kmeansPlusPlusSeeds' zero-norm
-    // candidacy filter BY CONSTRUCTION — without it a zero-norm row in
-    // the fixture would divide by zero here while the Spark side
-    // excludes it, and the parity would hold only by fixture luck
+  /** kmeans++ greedy seed-chain CTE stages ([[Similarity
+    * .kmeansPlusPlusSeeds]]'s SQL replay), shared by e09 and e11.
+    * Assumes CTEs `be` (vec_id, i, v), `bn` (vec_id, n) and `cand`
+    * (vec_id — the seed-CANDIDATE set, already nonzero-norm-filtered)
+    * are defined. Emits stages s1..sK; the chosen seed ids are
+    * `SELECT vec_id FROM s1 UNION ... UNION SELECT vec_id FROM sK`
+    * ([[kppSeedIds]]).
+    *
+    * Per stage: rounded cosine distance of every candidate to the
+    * stage's single seed (the seed row itself included, d = 0); next
+    * seed = argmax of the running min distance, ties to smallest id —
+    * the exact greedy D² chain, same md5 first pick.
+    */
+  private def kppStages(k: Int): Seq[String] = {
     def ds(n: Int): String =
       s"""ds$n AS (SELECT be.vec_id,
            round(1.0 - sum(be.v::DOUBLE * sv.v::DOUBLE) / (bn.n * sn$n.nn), 6) AS d
            FROM be
+           JOIN cand ON cand.vec_id = be.vec_id
            JOIN (SELECT i, v FROM be
                  WHERE vec_id = (SELECT vec_id FROM s$n)) sv ON sv.i = be.i
-           JOIN bn ON bn.vec_id = be.vec_id AND bn.n > 0
+           JOIN bn ON bn.vec_id = be.vec_id
            CROSS JOIN (SELECT n AS nn FROM bn
                        WHERE vec_id = (SELECT vec_id FROM s$n)) sn$n
            GROUP BY be.vec_id, bn.n, sn$n.nn)"""
-    def exclude(n: Int): String =
-      (1 to n).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ")
     val stages = new scala.collection.mutable.ArrayBuffer[String]
-    // first seed drawn from NON-ZERO-NORM vectors only (the Spark
-    // side's `cand` filter) — same rationale as the ds guard
-    stages += """s1 AS (SELECT vec_id FROM bn WHERE n > 0
+    stages += """s1 AS (SELECT vec_id FROM cand
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"""
     stages += ds(1)
     stages += "m1 AS (SELECT vec_id, d AS dmin FROM ds1)"
-    for (n <- 2 to e09K) {
+    for (n <- 2 to k) {
       stages += s"""s$n AS (SELECT vec_id FROM m${n - 1}
-           WHERE vec_id NOT IN (${exclude(n - 1)})
+           WHERE vec_id NOT IN (${kppSeedIds(n - 1)})
            ORDER BY dmin DESC, vec_id LIMIT 1)"""
-      if (n < e09K) {
+      if (n < k) {
         stages += ds(n)
         stages += s"""m$n AS (SELECT m${n - 1}.vec_id,
              least(m${n - 1}.dmin, ds$n.d) AS dmin
              FROM m${n - 1} JOIN ds$n ON ds$n.vec_id = m${n - 1}.vec_id)"""
       }
     }
+    stages.toSeq
+  }
+
+  private def kppSeedIds(k: Int): String =
+    (1 to k).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ")
+
+  lazy val e09Sql: String = {
+    // candidate set = every NON-ZERO-NORM vector, mirroring
+    // kmeansPlusPlusSeeds' candidacy filter BY CONSTRUCTION — without
+    // it a zero-norm row in the fixture would divide by zero here
+    // while the Spark side excludes it, and the parity would hold only
+    // by fixture luck
     s"""WITH be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
            unnest(embedding) AS v FROM embeddings),
        bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
               FROM be GROUP BY vec_id),
-       ${stages.mkString(",\n       ")},
+       cand AS (SELECT vec_id FROM bn WHERE n > 0),
+       ${kppStages(e09K).mkString(",\n       ")},
        c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-             WHERE vec_id IN (${exclude(e09K)})),
+             WHERE vec_id IN (${kppSeedIds(e09K)})),
        ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v
               FROM c),
        cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
@@ -1630,6 +1681,87 @@ object Queries {
                   JOIN cn ON cn.cid = dots.cid)
        SELECT cid AS ivf_cluster, count(*) AS n_new_vectors,
               min(s) AS min_cosine
+       FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
+
+  /** Incremental-IVF RESEED branch (e11): the same ingest split as
+    * e10, but with a drift floor the frozen index genuinely fails —
+    * at minCosine = 0.25 roughly three quarters of the new batch
+    * scores below the floor at both SFs (measured: 0.76-0.79), past
+    * the 0.5 drift threshold — so [[Similarity.incrementalIvf]]
+    * re-seeds with kmeans++ over the hash-gated sample of
+    * corpus + batch and re-assigns the batch against the new seeds.
+    * The oracle replays the WHOLE branch independently in SQL: the
+    * frozen-centroid drift aggregate (e10's scoring shape), the md5
+    * sample gate (d17's idiom), the greedy D² seed chain (the shared
+    * [[kppStages]] generator over the sampled candidate set), and the
+    * rounded-argmax assignment census of the batch against the
+    * reseeded centroids. `drift_fraction` is ONE IEEE division of the
+    * same two integers in both engines — bit-exact.
+    */
+  val e11K = 4
+  private val e11MinCos = 0.25
+
+  def e11(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val old = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400)
+    val cents = Similarity.ivfCentroids(old, "vec_id", "embedding", 8)
+    val upd = Similarity.incrementalIvf(old, fresh, "vec_id", "embedding",
+      cents, k = e11K, minCosine = e11MinCos, maxDriftFraction = 0.5,
+      sampleRate16 = 8)
+    assert(upd.reseeded, "e11 exercises the reseed branch")
+    upd.assigned
+      .groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n_new_vectors"),
+        min(col("ivf_cosine")).as("min_cosine"))
+      .withColumn("drift_fraction", lit(upd.driftFraction))
+      .orderBy(col("ivf_cluster"))
+  }
+
+  lazy val e11Sql: String =
+    s"""WITH be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v FROM embeddings),
+       bn AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+              FROM be GROUP BY vec_id),
+       c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id < 400 ORDER BY vec_id LIMIT 8),
+       ce0 AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v
+               FROM c0),
+       cn0 AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+               FROM ce0 GROUP BY cid),
+       dots0 AS (SELECT be.vec_id, ce0.cid,
+                 sum(be.v::DOUBLE * ce0.v::DOUBLE) AS d
+                 FROM be JOIN ce0 ON be.i = ce0.i
+                 WHERE be.vec_id >= 400 GROUP BY be.vec_id, ce0.cid),
+       best0 AS (SELECT dots0.vec_id,
+                 max(round(dots0.d / (bn.n * cn0.n), 6)) AS s
+                 FROM dots0 JOIN bn ON bn.vec_id = dots0.vec_id
+                 JOIN cn0 ON cn0.cid = dots0.cid GROUP BY dots0.vec_id),
+       drift AS (SELECT count(*) FILTER (WHERE s < $e11MinCos)::DOUBLE
+                   / count(*) AS f FROM best0),
+       cand AS (SELECT vec_id FROM bn WHERE n > 0 AND
+                strpos('0123456789abcdef',
+                       substr(md5('ivf-reseed' || vec_id), 1, 1)) - 1 < 8),
+       ${kppStages(e11K).mkString(",\n       ")},
+       c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             WHERE vec_id IN (${kppSeedIds(e11K)})),
+       ce AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS v
+              FROM c),
+       cn AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+              FROM ce GROUP BY cid),
+       dots AS (SELECT be.vec_id, ce.cid,
+                sum(be.v::DOUBLE * ce.v::DOUBLE) AS d
+                FROM be JOIN ce ON be.i = ce.i
+                WHERE be.vec_id >= 400 GROUP BY be.vec_id, ce.cid),
+       scored AS (SELECT dots.vec_id, dots.cid,
+                  round(dots.d / (bn.n * cn.n), 6) AS s,
+                  row_number() OVER (PARTITION BY dots.vec_id
+                    ORDER BY round(dots.d / (bn.n * cn.n), 6) DESC,
+                             dots.cid DESC) AS rn
+                  FROM dots JOIN bn ON bn.vec_id = dots.vec_id
+                  JOIN cn ON cn.cid = dots.cid)
+       SELECT cid AS ivf_cluster, count(*) AS n_new_vectors,
+              min(s) AS min_cosine, (SELECT f FROM drift) AS drift_fraction
        FROM scored WHERE rn = 1 GROUP BY cid ORDER BY cid"""
 
   /** Composite training-data CURATION pipeline — the end-to-end flow a
@@ -2151,6 +2283,7 @@ object Queries {
     "d20_crosscycle_dedup" -> (d20 _),
     "d21_incremental_lsh" -> (d21 _),
     "d22_bpe_tokens" -> (d22 _),
+    "d23_incremental_clusters" -> (d23 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -2163,6 +2296,7 @@ object Queries {
     "e08_kmeans_converged" -> (e08 _),
     "e09_kmeanspp_seeding" -> (e09 _),
     "e10_incremental_ivf" -> (e10 _),
+    "e11_ivf_reseed" -> (e11 _),
     "f01_rolling_hash_native" -> (f01 _),
     "p01_pipeline_fanout" -> (p01 _),
     "p02_pipeline_hourly" -> (p02 _),
@@ -2219,6 +2353,7 @@ object Queries {
     "d20_crosscycle_dedup" -> d20Sql,
     "d21_incremental_lsh" -> d21Sql,
     "d22_bpe_tokens" -> d22Sql,
+    "d23_incremental_clusters" -> d23Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
@@ -2231,6 +2366,7 @@ object Queries {
     "e08_kmeans_converged" -> e08Sql,
     "e09_kmeanspp_seeding" -> e09Sql,
     "e10_incremental_ivf" -> e10Sql,
+    "e11_ivf_reseed" -> e11Sql,
     "f01_rolling_hash_native" -> f01Sql,
     "m01_multimodal_features" -> m01Sql,
     "m02_image_header_decode" -> m02Sql,
