@@ -66,7 +66,11 @@ object PairReuseBench {
     def bandsOf(df: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
       Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
     Dedup.writeBands(bandsOf(oldDocs), root, "docs", "b1", "doc_id")
-    val stored = Dedup.readBands(spark, root, "docs", Set("b1")).get
+    // dedupRows = false: the incremental consumer is set-semantic, so
+    // the read-side distinct would add a full exchange of the stored
+    // band table for nothing (the PlanSpec stored-side pin)
+    val stored = Dedup.readBands(spark, root, "docs", Set("b1"),
+      dedupRows = false).get
     val (nInc, tIncStored) = timed {
       Dedup.incrementalLshPairs(stored, bandsOf(newDocs), "doc_id").count()
     }

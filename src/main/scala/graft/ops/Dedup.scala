@@ -422,13 +422,25 @@ object Dedup {
     dest
   }
 
+  /** `dedupRows = false` skips the crash-window duplicate-row distinct:
+    * that distinct is a FULL exchange of the corpus-sized band table —
+    * on exactly the path the incremental design keeps narrow — and is
+    * REDUNDANT for any consumer whose downstream is already
+    * set-semantic ([[incrementalLshPairs]]' buckets are
+    * size(collect_set(id)), so duplicated (band, sig, id) rows collapse
+    * there regardless). Keep the default for consumers that count rows.
+    */
   def readBands(spark: org.apache.spark.sql.SparkSession, root: String,
-      corpusId: String, committed: Set[String]): Option[DataFrame] = {
+      corpusId: String, committed: Set[String],
+      dedupRows: Boolean = true): Option[DataFrame] = {
     val dirs = graft.pipeline.Sinks.partitionCommitted(
       graft.pipeline.Sinks.batchDirs(spark, bandsDir(root, corpusId)),
       committed)._1
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).distinct())
+    else {
+      val raw = spark.read.parquet(dirs: _*)
+      Some(if (dedupRows) raw.distinct() else raw)
+    }
   }
 
   /** ---- Namespace growth bounds for the dedup stores --------------

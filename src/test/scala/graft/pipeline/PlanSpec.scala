@@ -184,6 +184,78 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental LSH against the PERSISTED band store: the stored " +
+      "side reaches the (band, sig) semi-join with ZERO exchanges and " +
+      "is never re-shingled — the first wide op above the store is the " +
+      "bucket aggregate") {
+    // The 100 TB contract of Dedup.incrementalLshPairs: the stored band
+    // table (corpus-sized) is touched by ONE broadcast semi-join on the
+    // touched-bucket keys — no shuffle of the stored side before it,
+    // and no re-derivation from the documents table. This walks the
+    // physical tree instead of string-matching so the assertion is
+    // about the stored scan's ACTUAL ancestor chain.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs =
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.lshBands(
+          graft.ops.Dedup.minhashSignatures(df, "doc_id", "text", 3, 8),
+          "doc_id", 8, 2)
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "bandstore").toString
+      graft.ops.Dedup.writeBands(bandsOf(docs.filter($"doc_id" < 250)),
+        root, "c1", "b1", "doc_id")
+      val stored = graft.ops.Dedup.readBands(spark, root, "c1", Set("b1"),
+        dedupRows = false).get
+      val out = graft.ops.Dedup.incrementalLshPairs(stored,
+        bandsOf(docs.filter($"doc_id" >= 250)), "doc_id")
+      val exec = out.queryExecution.executedPlan
+      def isBandScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("_bands"))
+        case _ => false
+      }
+      // path from the root to the stored scan (the scan appears once)
+      def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+        if (isBandScan(p)) Some(List(p))
+        else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+      val chain = pathTo(exec).getOrElse(
+        fail(s"stored band scan not found in plan:\n$exec"))
+      // the first join/exchange met walking UP from the stored scan must
+      // be the broadcast LEFT SEMI on the touched buckets; every node
+      // below it is narrow (union/project/filter)
+      val firstWide = chain.reverse.tail.find(n =>
+        n.isInstanceOf[ShuffleExchangeExec] ||
+          n.isInstanceOf[BroadcastHashJoinExec] ||
+          n.nodeName.toLowerCase.contains("join"))
+      firstWide match {
+        case Some(j: BroadcastHashJoinExec) =>
+          assert(j.joinType.sql == "LEFT SEMI",
+            s"stored side must meet a LEFT SEMI first, got $j")
+        case other => fail("stored side must reach a broadcast semi-join " +
+          s"before any exchange/other join, met: $other\nplan:\n$exec")
+      }
+      // no re-shingle: nothing between the semi-join and the stored scan
+      // reads the documents table or computes minhash bands
+      val belowSemi = chain.dropWhile(n => !(n eq firstWide.get)).tail
+      belowSemi.foreach { n =>
+        assert(!n.isInstanceOf[ShuffleExchangeExec],
+          s"stored side must be exchange-free below the semi-join:\n$exec")
+        n match {
+          case f: FileSourceScanExec => assert(isBandScan(f),
+            s"stored side must read the band store, not re-derive:\n$exec")
+          case _ =>
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("incremental LSH touches the stored bands only through keyed " +
       "joins — no cartesian/nested-loop against the corpus-sized side") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
