@@ -1019,18 +1019,19 @@ object Queries {
     */
   val d23Sql: String = d18Sql
 
-  /** Deterministic merges-table BPE token counts (d22): per DISTINCT
-    * corpus word, its occurrence count and its BPE token count under
-    * the shared layered merges table ([[graft.ops.Bpe]]). The Spark
-    * side tokenizes each distinct word ONCE with the pure-Catalyst
-    * rank fold and joins back (the Zipf-shaped production plan); the
-    * oracle replays TEXTBOOK BPE — lowest-rank pair present, leftmost
-    * occurrence, one merge per recursive step until fixpoint — via a
-    * recursive CTE over the SAME merges VALUES list. The two
-    * formulations agree only if the fold's once-through semantics
-    * equal textbook semantics (the layering argument in Bpe.scala,
-    * property-tested in OpsSpec) — the oracle is an independent
-    * derivation, not a transcription.
+  /** REAL-vocab BPE token counts (d22): per DISTINCT corpus word, its
+    * occurrence count and its BPE token count under the 47,952-merge
+    * generated layered table ([[graft.ops.Bpe.realVocab]] — GPT-2
+    * scale). The Spark side tokenizes each distinct word ONCE with the
+    * native codegen'd ranks-map expression
+    * ([[graft.functions.BpeTokenCount]]) and joins back (the
+    * Zipf-shaped production plan); the oracle derives the SAME table
+    * independently from its (charset, layering) definition —
+    * generative CTEs, not a 48k-row transcription — and replays
+    * TEXTBOOK BPE (lowest-rank pair present, leftmost occurrence, one
+    * merge per recursive step until fixpoint) via a recursive CTE. The
+    * demo-vocab pure-Catalyst fold keeps its own three-way OpsSpec
+    * equivalence (fold == native == textbook).
     */
   def d22(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -1039,39 +1040,20 @@ object Queries {
     words.groupBy(col("word"))
       .agg(count(lit(1)).as("n_occurrences"))
       .withColumn("n_bpe_tokens",
-        size(graft.ops.Bpe.tokenizeWord(col("word"))).cast("long"))
+        graft.functions.BpeExprs.bpeTokenCount(col("word"),
+          graft.ops.Bpe.realVocab).cast("long"))
       .orderBy(col("word"))
   }
 
   val d22Sql: String =
     s"""WITH RECURSIVE
-       merges(rank, a, b) AS (VALUES ${graft.ops.Bpe.mergesSqlValues}),
+       ${graft.ops.Bpe.layeredMergesSqlCtes()},
        words0 AS (SELECT unnest(string_split(
            regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
            ' ')) AS word FROM documents),
        words AS (SELECT word, count(*) AS n_occ FROM words0
                  WHERE word <> '' GROUP BY word),
-       r(w, st, step) AS (
-         SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'), 0
-         FROM words
-         UNION ALL
-         SELECT w,
-           substr(st, 1, pos - 1) || ' ' || a || b || ' ' ||
-             substr(st, pos + length(a) + length(b) + 3),
-           step + 1
-         FROM (
-           SELECT r.w, r.st, r.step, m.a, m.b, m.rank,
-                  position((' ' || m.a || ' ' || m.b || ' ') IN r.st) AS pos
-           FROM r JOIN merges m
-             ON position((' ' || m.a || ' ' || m.b || ' ') IN r.st) > 0
-           QUALIFY row_number()
-             OVER (PARTITION BY r.w, r.step ORDER BY m.rank) = 1
-         )
-       ),
-       final AS (SELECT w, st FROM (
-         SELECT w, st,
-                row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
-         FROM r) WHERE rn = 1)
+       ${graft.ops.Bpe.textbookReplayCtes("words")}
        SELECT words.word, words.n_occ AS n_occurrences,
               length(f.st) - length(replace(f.st, ' ', '')) - 1
                 AS n_bpe_tokens
@@ -1845,25 +1827,50 @@ object Queries {
                 AS repetition_ok
        FROM f LEFT JOIN m USING (doc_id) ORDER BY f.doc_id"""
 
-  /** Token-window chunking (the document -> training-sample splitter):
-    * window 32, stride 24; chunk text verified via md5 prefix so the
-    * oracle checks CONTENT, not just counts.
+  /** BPE-token-window chunking (the document -> training-sample
+    * splitter, in the unit a training pipeline actually bills by):
+    * window 32 stride 24 over the document's BPE TOKEN STREAM — the
+    * in-order concatenation of each normalized word's real-vocab
+    * tokenization (BPE never merges across word boundaries, so the
+    * stream is word-local by construction). The token arrays come from
+    * the native [[graft.functions.BpeTokens]] expression evaluated per
+    * word occurrence inside ONE narrow map (no distinct-word join:
+    * cheap per-word eval beats a shuffle here, and PlanSpec pins the
+    * zero-Exchange shape). Chunk content is verified via md5 prefix;
+    * the oracle re-derives the merges table generatively, replays
+    * textbook BPE per distinct word, reassembles each document's
+    * stream in word order, and windows it identically.
     */
   def d14(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkPlan(t(spark, dir, "documents"), window = 32,
-        stride = 24)
+        stride = 24,
+        tokensExpr = Some(flatten(transform(
+          graft.ops.Bpe.normalizeWords(col("text")),
+          w => graft.functions.BpeExprs.bpeTokens(w,
+            graft.ops.Bpe.realVocab)))))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   val d14Sql: String =
-    """WITH t AS (SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-           FROM documents),
+    s"""WITH RECURSIVE
+       ${graft.ops.Bpe.layeredMergesSqlCtes()},
+       t AS (SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+               ' '), x -> x <> '') AS w
+             FROM documents),
+       dw AS (SELECT doc_id, i AS wpos, w[i] AS word
+              FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+       words AS (SELECT DISTINCT word FROM dw),
+       ${graft.ops.Bpe.textbookReplayCtes("words")},
+       dt AS (SELECT doc_id,
+              string_split(string_agg(trim(f.st), ' ' ORDER BY dw.wpos),
+                           ' ') AS toks
+              FROM dw JOIN final f ON f.w = dw.word GROUP BY doc_id),
        c AS (SELECT doc_id,
                CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
                CAST(s AS BIGINT) AS start,
-               w[s : s + 31] AS ch
-             FROM t, UNNEST(generate_series(1, len(w), 24)) AS u(s))
+               toks[s : s + 31] AS ch
+             FROM dt, UNNEST(generate_series(1, len(toks), 24)) AS u(s))
        SELECT doc_id, chunk_idx, start,
               CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
               substr(md5(array_to_string(ch, ' ')), 1, 8) AS chunk_h8

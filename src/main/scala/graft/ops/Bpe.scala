@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: tokenize DISTINCT words once and join back (what d22
   * does) — corpus word frequency follows Zipf, so the distinct-word
   * table is orders of magnitude smaller than the token stream. The
-  * fold expression is deep (one `aggregate` per merge rank); at a real
-  * vocab size (tens of thousands of merges) this becomes a native
-  * Catalyst Expression holding the ranks in a hash map — the dataflow
-  * around it (normalize, explode, distinct, join back) is unchanged.
+  * fold expression is deep (one `aggregate` per merge rank), so it is
+  * the DEMO-vocab path only; at real vocab size the ranks live in a
+  * hash map inside the native codegen'd expressions
+  * [[graft.functions.BpeTokenCount]] / [[graft.functions.BpeTokens]]
+  * ([[realVocab]] is a 47,952-merge generated layered table — GPT-2
+  * scale), which are also cheap enough to evaluate per word
+  * OCCURRENCE in a narrow map when the consumer needs the stream in
+  * document order (d14's BPE-window chunking). OpsSpec proves
+  * fold == native == textbook on the demo vocab and
+  * native == textbook on the real one.
   */
 object Bpe {
 
@@ -81,6 +87,82 @@ object Bpe {
     merges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }
       .mkString(", ")
+
+  /** The REAL-vocab-scale table every production query uses: all
+    * (char, char) then all (bigram, char) merges of [a-z0-9],
+    * charset-major — 47,952 ranks ([[graft.functions.BpeVocab
+    * .layered]]). Self-describing name: any JVM re-generates it.
+    */
+  val realVocabCharset = "abcdefghijklmnopqrstuvwxyz0123456789"
+  val realVocab = s"layered:$realVocabCharset:3"
+
+  /** DuckDB CTEs generating EXACTLY `BpeVocab.layered(charset, 3)` as
+    * `merges(rank, a, b)` — the oracle derives the table independently
+    * from the same (charset, layering) definition instead of
+    * transcribing 48k VALUES rows. Rank parity with the Scala
+    * generator: layer 1 rank = (x-1)·n + y, layer 2 rank =
+    * n² + ((x-1)·n + (y-1))·n + z, 1-based charset positions, the
+    * for-comprehension's major order.
+    */
+  def layeredMergesSqlCtes(charset: String = realVocabCharset): String = {
+    val n = charset.length
+    s"""cs AS (SELECT i, substr('$charset', i, 1) AS c
+            FROM (SELECT unnest(generate_series(1, $n)) AS i)),
+       l1 AS (SELECT (x.i - 1) * $n + y.i AS rank, x.c AS a, y.c AS b
+              FROM cs x CROSS JOIN cs y),
+       l2 AS (SELECT $n * $n + ((x.i - 1) * $n + (y.i - 1)) * $n + z.i
+                       AS rank,
+                     x.c || y.c AS a, z.c AS b
+              FROM cs x CROSS JOIN cs y CROSS JOIN cs z),
+       merges AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)"""
+  }
+
+  /** DuckDB CTEs replaying TEXTBOOK BPE over a `<wordsCte>(word, ...)`
+    * table against an already-defined `merges(rank, a, b)` CTE,
+    * ending in `final(w, st)` where `st` is the tokenized state
+    * ` t1 t2 ... tn ` (token count = spaces - 1). Needs WITH RECURSIVE.
+    *
+    * The join against 48k merges is pre-restricted per word through a
+    * HASH join on the word's own 2/3-char substrings (every BPE token
+    * is a contiguous substring of its word, and this table's outputs
+    * are only 2 or 3 chars long) — without it the recursive term would
+    * theta-join every word state against the full table each step.
+    */
+  def textbookReplayCtes(wordsCte: String = "words"): String =
+    s"""bi AS (SELECT word, substr(word, i, 2) AS s
+            FROM (SELECT word,
+                    unnest(generate_series(1, length(word) - 1)) AS i
+                  FROM $wordsCte)),
+       tri AS (SELECT word, substr(word, i, 3) AS s
+               FROM (SELECT word,
+                       unnest(generate_series(1, length(word) - 2)) AS i
+                     FROM $wordsCte)),
+       subs AS (SELECT DISTINCT word, s
+                FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri)),
+       mw AS (SELECT subs.word, m.rank, m.a, m.b
+              FROM subs JOIN merges m ON m.a || m.b = subs.s),
+       r(w, st, step) AS (
+         SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'), 0
+         FROM $wordsCte
+         UNION ALL
+         SELECT w,
+           substr(st, 1, pos - 1) || ' ' || a || b || ' ' ||
+             substr(st, pos + length(a) + length(b) + 3),
+           step + 1
+         FROM (
+           SELECT r.w, r.st, r.step, mw.a, mw.b, mw.rank,
+                  position((' ' || mw.a || ' ' || mw.b || ' ') IN r.st)
+                    AS pos
+           FROM r JOIN mw ON mw.word = r.w
+             AND position((' ' || mw.a || ' ' || mw.b || ' ') IN r.st) > 0
+           QUALIFY row_number()
+             OVER (PARTITION BY r.w, r.step ORDER BY mw.rank) = 1
+         )
+       ),
+       final AS (SELECT w, st FROM (
+         SELECT w, st,
+                row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+         FROM r) WHERE rn = 1)"""
 
   /** One rank's pass: greedy left fold over the token array — merge
     * the running tail with the current element when they form (a, b).
@@ -123,6 +205,29 @@ object Bpe {
     * equivalence witness for OpsSpec's property test. Never used in a
     * query plan.
     */
+  /** Textbook reference over an ARBITRARY ranks map (for real-vocab
+    * scale, where the demo overload's merges-list scan per step would
+    * be O(48k·len) per merge): per step, enumerate adjacent pairs in
+    * position order, keep each pair's rank, merge the first minimum —
+    * lowest rank anywhere, leftmost occurrence.
+    */
+  def tokenizeReference(word: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var toks = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val hits = (0 until math.max(toks.size - 1, 0)).flatMap { i =>
+        ranks.get((toks(i), toks(i + 1))).map(r => (r, i))
+      }
+      if (hits.isEmpty) done = true
+      else {
+        val (_, i) = hits.minBy(_._1)
+        toks = (toks.take(i) :+ (toks(i) + toks(i + 1))) ++ toks.drop(i + 2)
+      }
+    }
+    toks
+  }
+
   def tokenizeReference(word: String): Seq[String] = {
     var toks = word.map(_.toString).toVector
     var done = false

@@ -177,11 +177,20 @@ object TextAnalysis {
     * shuffle, and the per-row payload stays small regardless of `w`.
     */
   def chunkPlan(df: DataFrame, window: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokensExpr: Option[Column] = None): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), toks.as("_toks"),
+    // default unit = whitespace tokens; callers chunking by a different
+    // unit (d14: the BPE token stream) pass their own array expression —
+    // the plan stays the same narrow explode either way
+    val base = tokensExpr match {
+      case Some(te) => df.select(col(idCol), te.as("_toks"),
+        size(te).cast("long").as("_n"))
+      case None => df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("_toks"),
         tokenCount(col(textCol)).as("_n"))
+    }
+    base
       .filter(col("_n") > 0)
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(1), col("_n"), lit(stride))).as("start"))

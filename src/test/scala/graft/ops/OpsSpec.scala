@@ -861,6 +861,82 @@ class OpsSpec extends AnyFunSuite {
         s"word '$w': fold ${got(w)} != textbook ${Bpe.tokenizeReference(w)}")
   }
 
+  test("real-vocab BPE: the generated layered table is GPT-2-scale and " +
+      "structurally layered; the native expression equals the textbook " +
+      "reference on randomized words; counts match token arrays") {
+    import graft.functions.{BpeExprs, BpeNative, BpeVocab}
+    val merges = BpeVocab.merges(Bpe.realVocab)
+    assert(merges.size == 47952, "36 chars: 36^2 + 36^3 merges")
+    assert(merges.size >= 10000, "the real-vocab bar")
+    // layered: every multi-char operand is a layer-1 output (all
+    // charset bigrams are, by construction) whose rank precedes the
+    // merge using it — check the boundary and a deterministic sample
+    val n = Bpe.realVocabCharset.length
+    def l1Rank(bigram: String): Int =
+      Bpe.realVocabCharset.indexOf(bigram(0)) * n +
+        Bpe.realVocabCharset.indexOf(bigram(1)) + 1
+    assert(merges.take(n * n).forall { case (a, b) =>
+      a.length == 1 && b.length == 1 })
+    merges.zipWithIndex.drop(n * n).take(500).foreach { case ((a, b), r) =>
+      assert(a.length == 2 && b.length == 1 && l1Rank(a) - 1 < r,
+        s"layer-2 merge $r ($a,$b) must consume an earlier rank's output")
+    }
+    // native == textbook reference on randomized alphanumeric words
+    val ranksMap = merges.zipWithIndex
+      .map { case (p, i) => p -> (i + 1) }.toMap
+    val rng = new scala.util.Random(7)
+    val cs = Bpe.realVocabCharset
+    val words = Seq.fill(120)(
+      (0 to rng.nextInt(14)).map(_ => cs(rng.nextInt(cs.length)))
+        .mkString).filter(_.nonEmpty).distinct
+    val got = words.toDF("w")
+      .select($"w", BpeExprs.bpeTokens($"w", Bpe.realVocab).as("t"),
+        BpeExprs.bpeTokenCount($"w", Bpe.realVocab).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getInt(2))))
+      .toMap
+    for (w <- words) {
+      val want = Bpe.tokenizeReference(w, ranksMap)
+      assert(got(w)._1 == want,
+        s"word '$w': native ${got(w)._1} != textbook $want")
+      assert(got(w)._2 == want.size)
+      assert(got(w)._1.mkString == w, "tokens must reassemble the word")
+    }
+    // chars outside the charset never merge but never throw
+    assert(BpeNative.tokenize("a_b", BpeVocab.ranks(Bpe.realVocab)).toSeq
+      == Seq("a", "_", "b"))
+    assert(BpeNative.tokenize("", BpeVocab.ranks(Bpe.realVocab)).isEmpty)
+    // null in -> null out (UnaryExpression null-safety)
+    val nullRow = Seq((1, Option.empty[String])).toDF("i", "w")
+      .select(BpeExprs.bpeTokenCount($"w", Bpe.realVocab)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("demo vocab three-way equivalence: Catalyst rank fold == native " +
+      "ranks-map expression == textbook, on the overlap fixtures and " +
+      "randomized words") {
+    import graft.functions.BpeExprs
+    val rng = new scala.util.Random(99)
+    val alphabet = "aeilnorstdgh012o"
+    val words = (Seq("ooo", "oooo", "ooooo", "the", "standing", "atoll") ++
+      Seq.fill(60)((0 to rng.nextInt(11))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString))
+      .filter(_.nonEmpty).distinct
+    val got = words.toDF("w")
+      .select($"w", Bpe.tokenizeWord($"w").as("fold"),
+        BpeExprs.bpeTokens($"w", "demo").as("native"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    for (w <- words) {
+      val (fold, native) = got(w)
+      val textbook = Bpe.tokenizeReference(w)
+      assert(fold == textbook, s"'$w': fold $fold != textbook $textbook")
+      assert(native == textbook,
+        s"'$w': native $native != textbook $textbook")
+    }
+  }
+
   test("ivfAssignExpr round-before-argmax: a constructed near-tie is " +
       "ulp-decided unrounded but collapses to the deterministic " +
       "largest-cid tie-break when rounded") {

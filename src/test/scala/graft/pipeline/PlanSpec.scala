@@ -305,6 +305,17 @@ class PlanSpec extends AnyFunSuite {
       graft.ops.TextAnalysis.chunkPlan(docs, window = 32, stride = 24))
     assert(!plan.contains("Exchange"),
       s"chunking must not shuffle (narrow explode):\n$plan")
+    // the BPE-token-window re-base (d14's actual body, minus its
+    // presentation orderBy): per-word native tokenization inside the
+    // same narrow map — still zero exchanges
+    val bpePlan = physical(
+      graft.ops.TextAnalysis.chunkPlan(docs, window = 32, stride = 24,
+        tokensExpr = Some(flatten(transform(
+          graft.ops.Bpe.normalizeWords($"text"),
+          w => graft.functions.BpeExprs.bpeTokens(w,
+            graft.ops.Bpe.realVocab))))))
+    assert(!bpePlan.contains("Exchange"),
+      s"BPE-window chunking must not shuffle either:\n$bpePlan")
   }
 
   test("redrive pending-side join: an oversized backlog is never the " +
