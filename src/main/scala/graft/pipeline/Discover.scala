@@ -347,8 +347,12 @@ object Discover {
       if (!cfg.s6Configured) Seq.empty
       else cfg.storageClassCol +:
         Option(cfg.restoreHeaderCol).filter(_.nonEmpty).toSeq
-    s6Cols.foldLeft(Schema.turnSchema)(_.add(_, StringType))
-      .add("day", StringType)
+    val base = s6Cols.foldLeft(Schema.turnSchema)(_.add(_, StringType))
+    // the multimodal blob column rides along the same way (BinaryType)
+    val withMedia =
+      if (!cfg.mediaConfigured) base
+      else base.add(cfg.mediaCol, org.apache.spark.sql.types.BinaryType)
+    withMedia.add("day", StringType)
   }
 
   /** The S3 zero-length and S7c archive-prefix guards — shared by the

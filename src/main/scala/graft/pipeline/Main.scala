@@ -89,10 +89,10 @@ object Main {
     // identical routing)
     import spark.implicits._
     val routed = dedupStage(spark, cfg, committedAtStart,
-      Pipeline(delta.as[Turn](
+      mediaStage(cfg, Pipeline(delta.as[Turn](
         org.apache.spark.sql.Encoders.product[Turn]),
         cfg.excludePattern, cfg.chunkSize,
-        codec = Pipeline.codecFor(cfg))).cache()
+        codec = Pipeline.codecFor(cfg)))).cache()
 
     // new per-day watermarks from the routed delta (one pass; also the
     // emptiness check)
@@ -325,6 +325,52 @@ object Main {
     * fingerprint a PRIOR batch published", and within-corpus dedup is
     * the explicit d01-operator surface.
     */
+  /** Opt-in multimodal stage (cfg.mediaCol): decode every blob's
+    * container header ONCE with the native codegen'd
+    * [[graft.functions.MediaHeader]] — in the same narrow map as
+    * routing, so payload bytes are classified where they already sit
+    * and never shuffle for it — then (a) merge the decoded metadata
+    * into the P7 `meta` map (only the fields the format defines), and
+    * (b) re-route content-sink rows whose NON-NULL blob decodes to
+    * nothing to the dead-letter sink — the corrupt-JSON discipline:
+    * visible, never dropped, and the row's text/meta ride along for
+    * diagnosis. Rows with no blob, and non-content sinks (routing
+    * metadata), pass through untouched. Runs BEFORE the dedup stage so
+    * an undecodable-media row never reaches the fingerprint store.
+    */
+  private[pipeline] def mediaStage(cfg: PipelineConfig,
+      routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // the column-presence guard covers frames that predate the media
+    // config (a redrive of manifests written before --media-col was
+    // turned on): nothing to decode there, pass through
+    if (!cfg.mediaConfigured || !routed.columns.contains(cfg.mediaCol))
+      routed
+    else {
+      val hdrCol = graft.functions.MediaHeader.mediaHeader(
+        col(cfg.mediaCol))
+      val undecodable =
+        col(cfg.mediaCol).isNotNull && col("_media_hdr").isNull
+      routed.withColumn("_media_hdr", hdrCol)
+        .withColumn("sink",
+          when(undecodable && col("sink").isin(Route.contentSinks: _*),
+            lit("deadletter")).otherwise(col("sink")))
+        .withColumn("meta",
+          when(col("_media_hdr").isNull, col("meta"))
+            .otherwise(map_concat(col("meta"), map_filter(map(
+              lit("media_kind"), col("_media_hdr.kind"),
+              lit("media_width"), col("_media_hdr.width").cast("string"),
+              lit("media_height"), col("_media_hdr.height").cast("string"),
+              lit("media_channels"),
+              col("_media_hdr.channels").cast("string"),
+              lit("media_sample_rate"),
+              col("_media_hdr.sample_rate").cast("string"),
+              lit("media_bits"), col("_media_hdr.bits").cast("string"),
+              lit("media_duration_ms"),
+              col("_media_hdr.duration_ms").cast("string")),
+              (_, v) => v.isNotNull))))
+        .drop("_media_hdr")
+    }
+
   private def dedupStage(spark: SparkSession, cfg: PipelineConfig,
       committed: Set[String],
       routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -589,9 +635,10 @@ object Main {
     // its pre-commit hook — it differs only in never advancing a
     // watermark
     val routed = dedupStage(spark, cfg, committed,
-      Pipeline(eligibleNow.as[Turn](
+      mediaStage(cfg, Pipeline(eligibleNow.as[Turn](
         org.apache.spark.sql.Encoders.product[Turn]),
-        cfg.excludePattern, cfg.chunkSize, codec = Pipeline.codecFor(cfg)))
+        cfg.excludePattern, cfg.chunkSize,
+        codec = Pipeline.codecFor(cfg))))
       .cache()
     // committed_at = epoch, NOT now: committed_at is the day-dir
     // observation stamp behind the sealed-day reopen check
@@ -678,7 +725,8 @@ object Main {
       reauditDays = opts.get("reaudit-days")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       dedupAcrossCycles = opts.get("dedup-across-cycles")
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      mediaCol = opts.getOrElse("media-col", null))
     val res =
       if (redrive) redriveDeferred(spark, cfg, asOf)
       else runCycle(spark, cfg, asOf)

@@ -148,7 +148,13 @@ case class PipelineConfig(
     // batch re-route to the `duplicate` sink (never silently dropped).
     // The fingerprint store lives under _fingerprints/<checkpointId>,
     // maintained with the engine's committed-batch discipline.
-    dedupAcrossCycles: Boolean = false) {
+    dedupAcrossCycles: Boolean = false,
+    // opt-in multimodal column: names a BINARY input column of media
+    // blobs. When set, the cycle decodes each blob's container header
+    // once (narrow map, blobs never shuffled), merges the decoded
+    // metadata into the P7 meta map, and re-routes content-sink rows
+    // whose NON-NULL blob decodes to nothing to the dead-letter sink.
+    mediaCol: String = null) {
 
   /** The ONE definition of "S6 is configured" (empty string == null ==
     * disabled) — gates the eligibility predicate, the schema extension,
@@ -165,6 +171,11 @@ case class PipelineConfig(
     */
   def deferralConfigured: Boolean =
     s6Configured || sealDaysGraceSeconds >= 0
+
+  /** The ONE definition of "the multimodal stage is configured" —
+    * gates the read-schema extension and the media routing stage.
+    */
+  def mediaConfigured: Boolean = mediaCol != null && mediaCol.nonEmpty
 }
 
 object Schema {

@@ -1844,6 +1844,100 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1L, "cross-identity isolation")
   }
 
+  test("multimodal routed stage e2e: decoded header metadata lands in " +
+      "the meta map per format, undecodable non-null blobs re-route to " +
+      "deadletter (never dropped), blob-less rows untouched") {
+    import graft.ops.Multimodal
+    val inputPath = s"$scratch/media_in"
+    val sinkRoot = s"$scratch/media_sinks"
+    // mixed-media input: image / wav / mp4 / garbage / no blob, cycling
+    // on turn_idx — built from the same synthetic payloads the m-ops
+    // verify, so every decoded field has a known closed form
+    val withMedia = Synth.turns(spark, seed, 30L).map { t =>
+      val media: Array[Byte] = (t.turn_idx % 5) match {
+        case 0 => Multimodal.synthImagePayload(t.turn_idx.toLong)
+        case 1 => Multimodal.synthWavPayload(t.turn_idx.toLong)
+        case 2 => Multimodal.synthMp4Payload(t.turn_idx.toLong)
+        case 3 => Array[Byte](9, 9, 9, 9) // undecodable garbage
+        case _ => null
+      }
+      (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, media)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "media")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nIn = withMedia.count()
+    withMedia.repartition($"day").write.partitionBy("day")
+      .parquet(inputPath)
+
+    val cfg = PipelineConfig(inputPath, sinkRoot, chunkSize = 64,
+      mediaCol = "media")
+    val r1 = Main.runCycle(spark, cfg, farFuture)
+    assert(r1.rowsProcessed == nIn, "every row processed, none dropped")
+
+    // allowMissingColumns: an EMPTY sink reads back as the bare Turn
+    // schema (no pipeline columns) — it contributes zero rows either way
+    val all = Route.sinkNames.map(s =>
+        Sinks.readSink(spark, sinkRoot, s).withColumn("sinkName", lit(s)))
+      .reduce(_.unionByName(_, allowMissingColumns = true)).cache()
+    assert(all.count() == nIn, "routing stays a total partition")
+
+    // (a) undecodable non-null blobs never reach a content sink...
+    val contentRows = all.filter($"sinkName".isin(Route.contentSinks: _*))
+    assert(contentRows
+      .filter($"turn_idx" % 5 === 3 && $"media".isNotNull).count() == 0L,
+      "garbage blobs must not publish to content sinks")
+    // ...they land in deadletter, text and blob intact for diagnosis
+    val dlGarbage = all.filter($"sinkName" === "deadletter" &&
+      $"turn_idx" % 5 === 3)
+    assert(dlGarbage.count() > 0L)
+    assert(dlGarbage.filter($"text".isNull || $"media".isNull)
+      .count() == 0L, "dead-lettered rows keep their payload")
+    // nothing with garbage media vanished: every input row with a
+    // garbage blob is accounted for across the sinks
+    val nGarbage = withMedia.filter($"turn_idx" % 5 === 3).count()
+    assert(all.filter($"turn_idx" % 5 === 3).count() == nGarbage)
+
+    // (b) decoded metadata per format, exactly the fields the format
+    // defines (null fields filtered out of the map)
+    def meta(key: String) = element_at($"meta", key)
+    val img = contentRows.filter($"turn_idx" % 5 === 0 && $"media".isNotNull)
+    assert(img.count() > 0)
+    assert(img.filter(!meta("media_kind").isin("png", "jpeg")).count() == 0)
+    assert(img.filter(meta("media_width").isNull ||
+      meta("media_height").isNull).count() == 0)
+    assert(img.filter(meta("media_channels").isNotNull).count() == 0,
+      "images define no audio fields")
+    val wav = contentRows.filter($"turn_idx" % 5 === 1)
+    assert(wav.count() > 0)
+    assert(wav.filter(meta("media_kind") =!= "wav").count() == 0)
+    assert(wav.filter(meta("media_channels").isNull ||
+      meta("media_sample_rate").isNull || meta("media_bits").isNull ||
+      meta("media_duration_ms").isNull).count() == 0)
+    assert(wav.filter(meta("media_width").isNotNull).count() == 0)
+    val mp4 = contentRows.filter($"turn_idx" % 5 === 2)
+    assert(mp4.count() > 0)
+    assert(mp4.filter(meta("media_kind") =!= "mp4").count() == 0)
+    assert(mp4.filter(meta("media_width").isNull ||
+      meta("media_duration_ms").isNull).count() == 0)
+    // one decoded value spot-checked against its closed form
+    val spot = wav.select($"turn_idx", meta("media_channels"),
+      meta("media_sample_rate")).head()
+    val (chans, rate, _, _) = Multimodal.AudioCodec
+      .decodeWav(Multimodal.synthWavPayload(spot.getInt(0).toLong)).get
+    assert(spot.getString(1).toInt == chans &&
+      spot.getString(2).toInt == rate)
+
+    // (c) blob-less rows: no media keys in meta, routing untouched
+    val none = all.filter($"turn_idx" % 5 === 4)
+    assert(none.filter(meta("media_kind").isNotNull).count() == 0)
+    assert(none.filter($"sinkName" === "deadletter" && $"parse_ok")
+      .count() ==
+      all.filter($"turn_idx" % 5 === 2 && $"sinkName" === "deadletter" &&
+        $"parse_ok").count(),
+      "blob-less and decodable-blob rows dead-letter identically " +
+        "(only parse failures)")
+    all.unpersist()
+  }
+
   private def write2(dest: String,
       schema: org.apache.spark.sql.types.StructType,
       rows: org.apache.spark.sql.Row*): Unit =
