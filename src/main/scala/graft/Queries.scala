@@ -2241,6 +2241,49 @@ object Queries {
               (600 + 100 * (range % 7))) AS BIGINT) AS duration_ms
        FROM range(64) ORDER BY media_id"""
 
+  /** REAL PNG pixel decode (m05): complete spec-valid PNG payloads
+    * (CRC'd chunks, zlib IDAT split across two members, scanline
+    * filters cycling through ALL FIVE types, color type cycling
+    * gray/RGB/RGBA) carry closed-form pixel values; the distributed
+    * decode (Multimodal.PixelCodec — JDK Inflater + unfilter, no
+    * media libs) must recover them exactly. Output is per-channel
+    * integer SUMS, so the comparison is hash-exact with no
+    * floating-point parity caveat. The oracle recomputes the sums
+    * from the pixel formula alone — it never touches a byte of PNG —
+    * so a bug anywhere in deflate-inversion or any filter's
+    * arithmetic diverges immediately. OpsSpec pins the decoder
+    * against a hand-assembled stored-block PNG (encoder-independent)
+    * plus corrupt/zip-bomb/truncation fixtures.
+    */
+  def m05(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pngPixelStats(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m05Sql: String =
+    """WITH dims AS (
+         SELECT range AS media_id,
+           CAST(8 + (range * 2654435761) % 48 AS INT) AS width,
+           CAST(8 + (range * 40503) % 40 AS INT) AS height,
+           CAST(CASE range % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INT) AS channels
+         FROM range(64)),
+       px AS (
+         SELECT d.media_id, d.width, d.height, d.channels, c.range AS c,
+           (x.range * 7 + y.range * 13 + c.range * 29 + d.media_id * 31)
+             % 256 AS v
+         FROM dims d
+         JOIN range(56) x ON x.range < d.width
+         JOIN range(48) y ON y.range < d.height
+         JOIN range(4) c ON c.range < d.channels)
+       SELECT media_id, width, height, channels,
+         CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+         CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+         CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2,
+         CAST(sum(CASE WHEN c = 3 THEN v END) AS BIGINT) AS sum_c3
+       FROM px
+       GROUP BY media_id, width, height, channels
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2310,7 +2353,8 @@ object Queries {
     "m01_multimodal_features" -> (m01 _),
     "m02_image_header_decode" -> (m02 _),
     "m03_audio_header_decode" -> (m03 _),
-    "m04_video_header_decode" -> (m04 _)
+    "m04_video_header_decode" -> (m04 _),
+    "m05_png_pixel_decode" -> (m05 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2379,6 +2423,7 @@ object Queries {
     "m02_image_header_decode" -> m02Sql,
     "m03_audio_header_decode" -> m03Sql,
     "m04_video_header_decode" -> m04Sql,
+    "m05_png_pixel_decode" -> m05Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

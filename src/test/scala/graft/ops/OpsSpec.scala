@@ -1015,6 +1015,109 @@ class OpsSpec extends AnyFunSuite {
       .contains((320, 240, atMax * 1000L / 1000L)))
   }
 
+  test("PixelCodec decodes a hand-assembled stored-block PNG (encoder-" +
+      "independent) plus every synth payload to its closed form, and " +
+      "rejects zip-bombs, truncation, and corruption without throwing") {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def ihdr(w: Int, h: Int, depth: Int, colorType: Int,
+        interlace: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(depth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    // a zlib stream assembled BY HAND as one stored (BTYPE=00) deflate
+    // block — no Deflater anywhere on this path, so a symmetric
+    // encode/decode bug cannot cancel out
+    def storedZlib(raw: Array[Byte]): Array[Byte] = {
+      val adler = new java.util.zip.Adler32()
+      adler.update(raw)
+      val bb = java.nio.ByteBuffer.allocate(7 + raw.length + 4)
+      bb.put(0x78.toByte).put(0x01.toByte) // header: 0x7801 % 31 == 0
+      bb.put(0x01.toByte) // BFINAL=1, BTYPE=00
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(raw.length.toShort).putShort((~raw.length).toShort)
+      bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(raw).putInt(adler.getValue.toInt).array()
+    }
+    def png(hdr: Array[Byte], idat: Array[Byte]): Array[Byte] =
+      sig ++ Multimodal.pngChunk("IHDR", hdr) ++
+        Multimodal.pngChunk("IDAT", idat) ++
+        Multimodal.pngChunk("IEND", Array.emptyByteArray)
+
+    // 2x2 grayscale: scanline 0 = filter None (10, 20), scanline 1 =
+    // filter Sub (30, 45 → deltas 30, 15); expected unfiltered samples
+    // are hand-derived, independent of synthPngPayload
+    val raw = Array[Byte](0, 10, 20, 1, 30, 15)
+    val hand = png(ihdr(2, 2, 8, 0, 0), storedZlib(raw))
+    assert(Multimodal.PixelCodec.decodePng(hand)
+      .map(p => (p.width, p.height, p.channels, p.data.toSeq))
+      .contains((2, 2, 1, Seq[Byte](10, 20, 30, 45))))
+
+    // every synth payload (Deflater-compressed, filters cycling through
+    // all five types, three color types) decodes to the closed form
+    (0L until 12L).foreach { id =>
+      val p = Multimodal.PixelCodec.decodePng(
+        Multimodal.synthPngPayload(id))
+        .getOrElse(fail(s"synth id=$id must decode"))
+      val (w, h) = Multimodal.synthPngDims(id)
+      val ch = Multimodal.synthPngChannels(id)
+      assert((p.width, p.height, p.channels) == (w, h, ch), s"id=$id")
+      var i = 0
+      while (i < p.data.length) {
+        val (px, c) = (i / ch % w, i % ch)
+        val y = i / (w * ch)
+        assert((p.data(i) & 0xff) ==
+          Multimodal.synthPngValue(id, px, y, c),
+          s"id=$id byte=$i")
+        i += 1
+      }
+    }
+
+    // zip-bomb guard: a 1-KB blob declaring 20000x20000 RGBA (1.6 GB
+    // decoded) must classify as undecodable BEFORE any allocation
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(20000, 20000, 8, 6, 0), storedZlib(raw))).isEmpty)
+    // an inflated stream LONGER than the dims allow is corrupt (2x2
+    // gray needs exactly 6 bytes; this stored block carries 7)
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 8, 0, 0), storedZlib(raw :+ 0.toByte))).isEmpty)
+    // ... and SHORTER too (5 bytes): rejected, never zero-padded
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 8, 0, 0), storedZlib(raw.take(5)))).isEmpty)
+    // undefined filter type 5 on a structurally valid stream
+    assert(Multimodal.PixelCodec.decodePng(png(ihdr(2, 2, 8, 0, 0),
+      storedZlib(Array[Byte](5, 10, 20, 1, 30, 15)))).isEmpty)
+    // unsupported profiles classify, not throw: 16-bit depth, palette,
+    // Adam7 interlace
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 16, 0, 0), storedZlib(raw))).isEmpty)
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 8, 3, 0), storedZlib(raw))).isEmpty)
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 8, 0, 1), storedZlib(raw))).isEmpty)
+    // corrupt zlib header: DataFormatException path, classified
+    val badZ = storedZlib(raw); badZ(0) = 0x00
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(2, 2, 8, 0, 0), badZ)).isEmpty)
+    // missing IEND (walker must not spin or accept)
+    val noEnd = sig ++ Multimodal.pngChunk("IHDR", ihdr(2, 2, 8, 0, 0)) ++
+      Multimodal.pngChunk("IDAT", storedZlib(raw))
+    assert(Multimodal.PixelCodec.decodePng(noEnd).isEmpty)
+    // every truncation prefix of a real payload classifies cleanly
+    val full = Multimodal.synthPngPayload(3L)
+    (0 until full.length by 7).foreach { k =>
+      assert(Multimodal.PixelCodec.decodePng(full.take(k)).isEmpty,
+        s"prefix $k")
+    }
+    assert(Multimodal.PixelCodec.decodePng(null).isEmpty)
+    assert(Multimodal.PixelCodec.decodePng(Array.emptyByteArray).isEmpty)
+
+    // the distributed stats path carries no -1 sentinels on the
+    // fixture set (a decode regression turns loud, not silent)
+    assert(Multimodal.pngPixelStats(spark, 16L)
+      .filter($"width" === -1).count() == 0L)
+  }
+
   test("ivfAssignScored leaves a pre-existing `_best` column untouched " +
       "instead of shadowing and dropping it") {
     val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
