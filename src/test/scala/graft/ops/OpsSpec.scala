@@ -1118,6 +1118,18 @@ class OpsSpec extends AnyFunSuite {
       .filter($"width" === -1).count() == 0L)
   }
 
+  test("resizeNearest samples the decoded buffer at exact integer " +
+      "source indices: downsample, channel interleave, and side > dim " +
+      "replication (never out of bounds)") {
+    import Multimodal.PixelCodec.Pixels
+    val g = Pixels(4, 2, 1, Array.tabulate(8)(_.toByte))
+    assert(Multimodal.resizeNearest(g, 2).toSeq == Seq[Byte](0, 2, 4, 6))
+    val rgb = Pixels(2, 2, 3, Array.tabulate(12)(_.toByte))
+    assert(Multimodal.resizeNearest(rgb, 1).toSeq == Seq[Byte](0, 1, 2))
+    assert(Multimodal.resizeNearest(g, 4).toSeq ==
+      Seq[Byte](0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 6, 7, 4, 5, 6, 7))
+  }
+
   test("ivfAssignScored leaves a pre-existing `_best` column untouched " +
       "instead of shadowing and dropping it") {
     val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
