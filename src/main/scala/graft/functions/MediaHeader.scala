@@ -65,10 +65,18 @@ object MediaHeader {
       case Some((fmt, w, h)) =>
         row(fmt, Int.box(w), Int.box(h), null, null, null, null)
       case None => AudioCodec.decodeWav(payload) match {
-        case Some((ch, rate, bits, durMs)) =>
+        // decodeWav's 4th element is the data-chunk BYTE COUNT;
+        // duration = bytes / byte-rate (the m03 formula). A declared
+        // format whose byte-rate floors to zero (bits*ch*rate < 8 —
+        // each factor individually passes decodeWav's > 0 gates) is
+        // garbage: classify undecodable rather than divide by zero in
+        // an executor.
+        case Some((ch, rate, bits, dataBytes))
+            if rate.toLong * ch * bits / 8 > 0 =>
           row("wav", null, null, Int.box(ch), Int.box(rate), Int.box(bits),
-            Long.box(durMs))
-        case None => VideoCodec.decodeMp4(payload) match {
+            Long.box(dataBytes * 1000L / (rate.toLong * ch * bits / 8)))
+        // `_` not `None`: a zero-byte-rate WAV falls through here too
+        case _ => VideoCodec.decodeMp4(payload) match {
           case Some((w, h, durMs)) =>
             row("mp4", Int.box(w), Int.box(h), null, null, null,
               Long.box(durMs))

@@ -1920,11 +1920,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       meta("media_duration_ms").isNull).count() == 0)
     // one decoded value spot-checked against its closed form
     val spot = wav.select($"turn_idx", meta("media_channels"),
-      meta("media_sample_rate")).head()
-    val (chans, rate, _, _) = Multimodal.AudioCodec
+      meta("media_sample_rate"), meta("media_duration_ms"),
+      meta("media_bits")).head()
+    val (chans, rate, bits, dataBytes) = Multimodal.AudioCodec
       .decodeWav(Multimodal.synthWavPayload(spot.getInt(0).toLong)).get
     assert(spot.getString(1).toInt == chans &&
       spot.getString(2).toInt == rate)
+    // duration is the CONVERTED ms (the m03 formula), never the raw
+    // data byte count decodeWav returns
+    assert(spot.getString(3).toLong ==
+      dataBytes * 1000L / (rate.toLong * chans * bits / 8))
 
     // (c) blob-less rows: no media keys in meta, routing untouched
     val none = all.filter($"turn_idx" % 5 === 4)
