@@ -952,13 +952,58 @@ object Multimodal {
       .repartition(math.max(1, numTasks.getOrElse(
         media.sparkSession.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        // codec init happens once per task, not per row
+        // codec init happens once per task, not per row. Dispatch:
+        // a decodable PNG takes the REAL pixel path ([[pngFeatures]]
+        // over [[PixelCodec]] output); everything else falls back to
+        // the disclosed stub (lossy codecs need media libs this
+        // container lacks).
         it.map { m =>
-          val (checksum, feat) = StubCodec.decodeToFeatures(m.payload, dims)
+          val (checksum, feat) = PixelCodec.decodePng(m.payload) match {
+            case Some(px) => pngFeatures(px, dims)
+            case None => StubCodec.decodeToFeatures(m.payload, dims)
+          }
           MediaFeatures(m.media_id, m.kind, m.payload.length, checksum,
             feat.toSeq)
         }
       }
+  }
+
+  /** REAL feature vector from decoded PNG samples: per-channel mean
+    * and population std (normalized to [0,1]) in slots 0-3 / 4-7,
+    * then width/height/channels — the content statistics a curation
+    * pipeline filters on (flat images, blown-out channels). Checksum
+    * is CRC32 of the DECODED samples, so re-encodings of the same
+    * pixels collide (content-addressed), unlike the stub's
+    * payload-byte hash.
+    */
+  def pngFeatures(px: PixelCodec.Pixels, dims: Int): (Long, Array[Float]) = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(px.data)
+    val feat = new Array[Float](dims)
+    val n = px.width.toLong * px.height
+    val sums = new Array[Long](px.channels)
+    val sqs = new Array[Long](px.channels)
+    var i = 0
+    while (i < px.data.length) {
+      val v = px.data(i) & 0xff
+      val c = i % px.channels
+      sums(c) += v
+      sqs(c) += v.toLong * v
+      i += 1
+    }
+    var c = 0
+    while (c < px.channels && c < 4) {
+      val mean = sums(c).toDouble / n
+      if (c < dims) feat(c) = (mean / 255.0).toFloat
+      if (c + 4 < dims) feat(c + 4) =
+        (math.sqrt(math.max(0.0, sqs(c).toDouble / n - mean * mean))
+          / 255.0).toFloat
+      c += 1
+    }
+    if (dims > 8) feat(8) = px.width.toFloat
+    if (dims > 9) feat(9) = px.height.toFloat
+    if (dims > 10) feat(10) = px.channels.toFloat
+    (crc.getValue, feat)
   }
 
   /** Frame-sampling plan for video rows: every `everyMs` ms — pure

@@ -1118,6 +1118,34 @@ class OpsSpec extends AnyFunSuite {
       .filter($"width" === -1).count() == 0L)
   }
 
+  test("decodeFeatures dispatches decodable PNGs to the REAL pixel " +
+      "path: per-channel means match the closed form and the checksum " +
+      "is content-addressed (decoded samples, not payload bytes)") {
+    import spark.implicits._
+    val rows = (0L until 6L).map(id => Multimodal.MediaRow(id, "image",
+      Multimodal.synthPngPayload(id), 0, 0, 0))
+    val feats = Multimodal.decodeFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    (0L until 6L).foreach { id =>
+      val (w, h) = Multimodal.synthPngDims(id)
+      val ch = Multimodal.synthPngChannels(id)
+      val f = feats(id)
+      (0 until ch).foreach { c =>
+        val sum = (for (x <- 0 until w; y <- 0 until h)
+          yield Multimodal.synthPngValue(id, x, y, c).toLong).sum
+        val mean = sum.toDouble / (w.toLong * h) / 255.0
+        assert(math.abs(f.feat(c) - mean) < 1e-6, s"id=$id c=$c")
+      }
+      assert(f.feat(8) == w.toFloat && f.feat(9) == h.toFloat &&
+        f.feat(10) == ch.toFloat)
+      // content-addressed: the checksum is over DECODED samples
+      val px = Multimodal.PixelCodec.decodePng(
+        Multimodal.synthPngPayload(id)).get
+      val crc = new java.util.zip.CRC32(); crc.update(px.data)
+      assert(f.checksum == crc.getValue)
+    }
+  }
+
   test("resizeNearest samples the decoded buffer at exact integer " +
       "source indices: downsample, channel interleave, and side > dim " +
       "replication (never out of bounds)") {
