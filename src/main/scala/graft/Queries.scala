@@ -2323,6 +2323,40 @@ object Queries {
          END AS c3
        FROM grid ORDER BY media_id, ty, tx"""
 
+  /** REAL audio sample decode (m07): complete 16-bit PCM WAVs carry
+    * closed-form interleaved samples; the distributed decode
+    * (Multimodal.PcmCodec — pure JVM, PCM needs no codec library)
+    * must recover every sample exactly. Output is per-channel integer
+    * SUMS and PEAKS, so the comparison is hash-exact; the oracle
+    * recomputes them from the sample formula alone, never touching a
+    * byte of WAV.
+    */
+  def m07(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pcmSampleStats(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m07Sql: String =
+    """WITH dims AS (
+         SELECT range AS media_id,
+           CAST(1 + range % 2 AS INT) AS channels,
+           CAST(8000 + (range % 5) * 1000 AS INT) AS sample_rate,
+           CAST(50 + (range * 13) % 50 AS BIGINT) AS n_frames
+         FROM range(64)),
+       s AS (
+         SELECT d.media_id, d.channels, d.sample_rate, d.n_frames,
+           c.range AS c,
+           ((f.range*7 + c.range*11 + d.media_id*31) % 65536) - 32768 AS v
+         FROM dims d
+         JOIN range(100) f ON f.range < d.n_frames
+         JOIN range(2) c ON c.range < d.channels)
+       SELECT media_id, channels, sample_rate, n_frames,
+         CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+         CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+         CAST(max(CASE WHEN c = 0 THEN abs(v) END) AS INT) AS peak_c0,
+         CAST(max(CASE WHEN c = 1 THEN abs(v) END) AS INT) AS peak_c1
+       FROM s GROUP BY media_id, channels, sample_rate, n_frames
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2394,7 +2428,8 @@ object Queries {
     "m03_audio_header_decode" -> (m03 _),
     "m04_video_header_decode" -> (m04 _),
     "m05_png_pixel_decode" -> (m05 _),
-    "m06_png_thumbnail" -> (m06 _)
+    "m06_png_thumbnail" -> (m06 _),
+    "m07_pcm_sample_decode" -> (m07 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2465,6 +2500,7 @@ object Queries {
     "m04_video_header_decode" -> m04Sql,
     "m05_png_pixel_decode" -> m05Sql,
     "m06_png_thumbnail" -> m06Sql,
+    "m07_pcm_sample_decode" -> m07Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

@@ -646,6 +646,132 @@ object Multimodal {
       .toDF("media_id", "channels", "sample_rate", "bits", "duration_ms")
   }
 
+  /** REAL audio SAMPLE decode — 16-bit PCM WAV, pure JVM end to end
+    * (PCM is uncompressed; unlike lossy codecs it needs no media
+    * library, so the sample-level path can be as real as PNG's).
+    * Same chunk-walk discipline as [[AudioCodec.decodeWav]] but
+    * captures the data chunk's OFFSET and reads the interleaved
+    * little-endian samples. Only format code 1 (PCM) at 16 bits
+    * qualifies; compressed/float/other-width declarations, a data size
+    * that is not whole frames, or a declared size past the payload end
+    * (truncation) classify as undecodable, never throw. No size gate
+    * is needed: the samples ARE payload bytes — a WAV cannot amplify.
+    */
+  object PcmCodec {
+
+    /** Some((channels, sampleRate, interleavedSamples)) or None. */
+    def decodePcm16(p: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (p == null || p.length < 12) return None
+      def ascii(o: Int) = new String(p, o, 4, "US-ASCII")
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+          ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // code, ch, rate, bits
+      var data: Option[(Int, Long)] = None // offset, declared size
+      while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = ascii(i)
+        val size = le32(i + 4)
+        if (id == "fmt " && size >= 16L && i + 24 <= p.length)
+          fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt,
+            le16(i + 22)))
+        else if (id == "data") data = Some((i + 8, size))
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = if (next > p.length.toLong) p.length else next.toInt
+      }
+      for {
+        (code, ch, rate, bits) <- fmt
+        (off, size) <- data
+        if code == 1 && bits == 16 && ch > 0 && rate > 0
+        // whole frames only, fully present in the payload (a declared
+        // size past the end is truncation, not "read what's there")
+        if size % (2L * ch) == 0 && off + size <= p.length.toLong
+      } yield {
+        val n = (size / 2L).toInt
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          out(j) = ((p(off + 2 * j) & 0xff) |
+            ((p(off + 2 * j + 1) & 0xff) << 8)).toShort
+          j += 1
+        }
+        (ch, rate, out)
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM WAVs for the m07 oracle: closed-form
+    * samples s(f, c) = ((f*7 + c*11 + id*31) mod 65536) - 32768 over
+    * `n_frames = 50 + (id*13) mod 50` frames, mono/stereo by id
+    * parity — DuckDB recomputes every per-channel sum and peak from
+    * the formula without touching a byte of WAV.
+    */
+  def synthPcmParams(id: Long): (Int, Int, Int) =
+    (1 + (id % 2).toInt, 8000 + ((id % 5) * 1000).toInt,
+      50 + Math.floorMod(id * 13L, 50L).toInt)
+
+  def synthPcmSample(id: Long, f: Int, c: Int): Int =
+    Math.floorMod(f * 7L + c * 11L + id * 31L, 65536L).toInt - 32768
+
+  def synthPcmWavPayload(id: Long): Array[Byte] = {
+    val (ch, rate, frames) = synthPcmParams(id)
+    val dataBytes = frames * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2)
+    bb.putShort((ch * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        bb.putShort(synthPcmSample(id, f, c).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Distributed PCM sample stats over the synthetic table — the m07
+    * query body: per-channel sum and peak (exact integers, hash-exact
+    * comparison) from the DECODED interleaved samples; -1 sentinels
+    * keep a decode regression loud.
+    */
+  def pcmSampleStats(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        PcmCodec.decodePcm16(synthPcmWavPayload(id)) match {
+          case Some((ch, rate, samples)) =>
+            val frames = samples.length / ch
+            val sums = new Array[Long](ch)
+            val peaks = new Array[Int](ch)
+            var j = 0
+            while (j < samples.length) {
+              val c = j % ch
+              sums(c) += samples(j)
+              peaks(c) = math.max(peaks(c), math.abs(samples(j).toInt))
+              j += 1
+            }
+            def s(c: Int): Option[Long] = if (c < ch) Some(sums(c)) else None
+            def pk(c: Int): Option[Int] = if (c < ch) Some(peaks(c)) else None
+            (id, ch, rate, frames.toLong, s(0), s(1), pk(0), pk(1))
+          case None =>
+            (id, -1, -1, -1L, Option.empty[Long], Option.empty[Long],
+              Option.empty[Int], Option.empty[Int])
+        }
+      }
+      .toDF("media_id", "channels", "sample_rate", "n_frames",
+        "sum_c0", "sum_c1", "peak_c0", "peak_c1")
+  }
+
   /** Deterministic REAL image payloads for the m02 oracle: structurally
     * valid PNG/JPEG headers (by parity of id) carrying closed-form
     * dimensions any engine can recompute —

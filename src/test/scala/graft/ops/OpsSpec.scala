@@ -1146,6 +1146,59 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PcmCodec recovers every 16-bit sample exactly and rejects " +
+      "non-PCM, other bit widths, partial frames, and truncation " +
+      "without throwing") {
+    // synth round-trip: every interleaved sample equals the closed form
+    (0L until 8L).foreach { id =>
+      val Some((ch, rate, samples)) = Multimodal.PcmCodec.decodePcm16(
+        Multimodal.synthPcmWavPayload(id))
+      val (ech, erate, frames) = Multimodal.synthPcmParams(id)
+      assert((ch, rate, samples.length) == ((ech, erate, frames * ech)),
+        s"id=$id")
+      samples.zipWithIndex.foreach { case (s, j) =>
+        assert(s.toInt ==
+          Multimodal.synthPcmSample(id, j / ch, j % ch), s"id=$id j=$j")
+      }
+    }
+    def patch(p: Array[Byte])(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val q = p.clone()
+      f(java.nio.ByteBuffer.wrap(q).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      q
+    }
+    val good = Multimodal.synthPcmWavPayload(3L) // stereo (ch = 1 + id%2)
+    // format code 3 (IEEE float): not PCM16, classify
+    assert(Multimodal.PcmCodec.decodePcm16(
+      patch(good)(_.putShort(20, 3))).isEmpty)
+    // 8-bit declaration: wrong width, classify
+    assert(Multimodal.PcmCodec.decodePcm16(
+      patch(good)(_.putShort(34, 8))).isEmpty)
+    // data size not whole stereo frames (one sample short of a frame)
+    assert(Multimodal.PcmCodec.decodePcm16(
+      patch(good)(_.putInt(40, 2))).isEmpty)
+    // declared data size past the payload end: truncation, classify
+    assert(Multimodal.PcmCodec.decodePcm16(
+      patch(good)(_.putInt(40, 1 << 20))).isEmpty)
+    // physical truncation mid-data
+    assert(Multimodal.PcmCodec.decodePcm16(good.take(60)).isEmpty)
+    assert(Multimodal.PcmCodec.decodePcm16(null).isEmpty)
+    // chunk order free: a junk chunk before fmt/data still decodes
+    val reordered = {
+      val body = good.drop(12)
+      val junk = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      junk.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      val out = java.nio.ByteBuffer.allocate(12 + 12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + body.length)
+      out.put("WAVE".getBytes("US-ASCII")).put(junk.array()).put(body)
+      out.array()
+    }
+    val viaJunk = Multimodal.PcmCodec.decodePcm16(reordered)
+    assert(viaJunk.map(_._3.toSeq) ==
+      Multimodal.PcmCodec.decodePcm16(good).map(_._3.toSeq))
+  }
+
   test("resizeNearest samples the decoded buffer at exact integer " +
       "source indices: downsample, channel interleave, and side > dim " +
       "replication (never out of bounds)") {
