@@ -1086,12 +1086,51 @@ object Multimodal {
         it.map { m =>
           val (checksum, feat) = PixelCodec.decodePng(m.payload) match {
             case Some(px) => pngFeatures(px, dims)
-            case None => StubCodec.decodeToFeatures(m.payload, dims)
+            case None => PcmCodec.decodePcm16(m.payload) match {
+              case Some((ch, rate, samples)) =>
+                pcmFeatures(ch, rate, samples, dims)
+              case None => StubCodec.decodeToFeatures(m.payload, dims)
+            }
           }
           MediaFeatures(m.media_id, m.kind, m.payload.length, checksum,
             feat.toSeq)
         }
       }
+  }
+
+  /** REAL feature vector from decoded PCM samples: per-channel mean
+    * and RMS (normalized to [-1,1]/[0,1]) in slots 0-3 / 4-7, then
+    * channels / sample rate (kHz) / duration (s) — the loudness and
+    * silence statistics an audio curation pass filters on. Checksum is
+    * CRC32 of the sample bytes in decode order (content-addressed).
+    */
+  def pcmFeatures(ch: Int, rate: Int, samples: Array[Short],
+      dims: Int): (Long, Array[Float]) = {
+    val crc = new java.util.zip.CRC32()
+    val feat = new Array[Float](dims)
+    val frames = samples.length / ch
+    val sums = new Array[Long](ch)
+    val sqs = new Array[Long](ch)
+    var j = 0
+    while (j < samples.length) {
+      val v = samples(j).toInt
+      crc.update(v & 0xff); crc.update((v >> 8) & 0xff)
+      val c = j % ch
+      sums(c) += v
+      sqs(c) += v.toLong * v
+      j += 1
+    }
+    var c = 0
+    while (c < ch && c < 4 && frames > 0) {
+      if (c < dims) feat(c) = (sums(c).toDouble / frames / 32768.0).toFloat
+      if (c + 4 < dims) feat(c + 4) =
+        (math.sqrt(sqs(c).toDouble / frames) / 32768.0).toFloat
+      c += 1
+    }
+    if (dims > 8) feat(8) = ch.toFloat
+    if (dims > 9) feat(9) = rate / 1000.0f
+    if (dims > 10) feat(10) = frames.toFloat / rate
+    (crc.getValue, feat)
   }
 
   /** REAL feature vector from decoded PNG samples: per-channel mean

@@ -1144,6 +1144,26 @@ class OpsSpec extends AnyFunSuite {
       val crc = new java.util.zip.CRC32(); crc.update(px.data)
       assert(f.checksum == crc.getValue)
     }
+
+    // ... and decodable PCM WAVs to the real sample path: mean/RMS
+    // from the closed-form samples, slot 8 = channels
+    val wavRows = (0L until 4L).map(id => Multimodal.MediaRow(100 + id,
+      "audio", Multimodal.synthPcmWavPayload(id), 0, 0, 0))
+    val wavFeats = Multimodal.decodeFeatures(spark.createDataset(wavRows))
+      .collect().map(f => f.media_id -> f).toMap
+    (0L until 4L).foreach { id =>
+      val (ch, rate, frames) = Multimodal.synthPcmParams(id)
+      val f = wavFeats(100 + id)
+      (0 until ch).foreach { c =>
+        val vals = (0 until frames).map(Multimodal.synthPcmSample(id, _, c))
+        val mean = vals.map(_.toLong).sum.toDouble / frames / 32768.0
+        val rms = math.sqrt(
+          vals.map(v => v.toLong * v).sum.toDouble / frames) / 32768.0
+        assert(math.abs(f.feat(c) - mean) < 1e-6, s"id=$id c=$c mean")
+        assert(math.abs(f.feat(c + 4) - rms) < 1e-6, s"id=$id c=$c rms")
+      }
+      assert(f.feat(8) == ch.toFloat && f.feat(9) == rate / 1000.0f)
+    }
   }
 
   test("PcmCodec recovers every 16-bit sample exactly and rejects " +
