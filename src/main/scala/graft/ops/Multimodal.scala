@@ -996,6 +996,26 @@ object Multimodal {
     out
   }
 
+  /** Production thumbnailing over arbitrary media rows: decode+resize
+    * fused per partition (one pass over the blob bytes, nothing
+    * shuffled but the side*side*channels-byte thumbnail). Undecodable
+    * rows yield a NULL thumbnail rather than vanishing — the caller
+    * decides (the routed stage has already dead-lettered corrupt
+    * blobs; a null here means "not a decodable PNG", e.g. a JPEG).
+    */
+  def thumbnails(media: Dataset[MediaRow], side: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        PixelCodec.decodePng(m.payload) match {
+          case Some(px) => (m.media_id, px.width, px.height, px.channels,
+            resizeNearest(px, side))
+          case None => (m.media_id, -1, -1, -1, null: Array[Byte])
+        }
+      }
+    }.toDF("media_id", "width", "height", "channels", "thumb")
+  }
+
   /** Distributed thumbnailing over the synthetic PNG table — the m06
     * query body: decode + resize per partition (blobs never shuffled;
     * only side*side*ch ints per row leave the map). Undecodable rows

@@ -1166,6 +1166,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnails packs resizeNearest output per decodable row and " +
+      "null-flags non-PNG rows instead of dropping them") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", Multimodal.synthPngPayload(4L),
+        0, 0, 0),
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), 0, 0, 0))
+    val out = Multimodal.thumbnails(spark.createDataset(rows), 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val px = Multimodal.PixelCodec.decodePng(
+      Multimodal.synthPngPayload(4L)).get
+    assert(out(0L).getAs[Array[Byte]]("thumb").toSeq ==
+      Multimodal.resizeNearest(px, 4).toSeq)
+    assert(out(0L).getInt(1) == px.width && out(0L).getInt(3) == px.channels)
+    assert(out(1L).isNullAt(4) && out(1L).getInt(1) == -1,
+      "non-PNG rows stay visible with a null thumb")
+  }
+
   test("PcmCodec recovers every 16-bit sample exactly and rejects " +
       "non-PCM, other bit widths, partial frames, and truncation " +
       "without throwing") {
