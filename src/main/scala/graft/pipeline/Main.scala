@@ -340,16 +340,25 @@ object Main {
     */
   private[pipeline] def mediaStage(cfg: PipelineConfig,
       routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaStage(if (cfg.mediaConfigured) cfg.mediaCol else null, routed)
+
+  /** String-keyed form shared with the streaming path
+    * ([[graft.streaming.Streaming.runForeachBatch]]), which has no
+    * PipelineConfig — same stage, same semantics, one body.
+    */
+  private[graft] def mediaStage(mediaCol: String,
+      routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     // the column-presence guard covers frames that predate the media
     // config (a redrive of manifests written before --media-col was
     // turned on): nothing to decode there, pass through
-    if (!cfg.mediaConfigured || !routed.columns.contains(cfg.mediaCol))
+    if (mediaCol == null || mediaCol.isEmpty ||
+        !routed.columns.contains(mediaCol))
       routed
     else {
       val hdrCol = graft.functions.MediaHeader.mediaHeader(
-        col(cfg.mediaCol))
+        col(mediaCol))
       val undecodable =
-        col(cfg.mediaCol).isNotNull && col("_media_hdr").isNull
+        col(mediaCol).isNotNull && col("_media_hdr").isNull
       routed.withColumn("_media_hdr", hdrCol)
         .withColumn("sink",
           when(undecodable && col("sink").isin(Route.contentSinks: _*),

@@ -50,9 +50,14 @@ object Streaming {
     * the listing watermark.
     */
   def readTurns(spark: SparkSession, inputPath: String,
-      maxFilesPerTrigger: Int = 64): DataFrame =
+      maxFilesPerTrigger: Int = 64, mediaCol: String = null): DataFrame =
     spark.readStream
-      .schema(Schema.turnSchema)
+      // a streaming read pins its schema up front, so the opt-in media
+      // blob column must be declared here (the batch path discovers it
+      // from the parquet footer instead)
+      .schema(if (mediaCol == null || mediaCol.isEmpty) Schema.turnSchema
+        else Schema.turnSchema.add(mediaCol,
+          org.apache.spark.sql.types.BinaryType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputPath)
 
@@ -266,9 +271,10 @@ object Streaming {
       maxFilesPerTrigger: Int = 64,
       codec: Pipeline.Codec = Pipeline.GrokCodec,
       dedupAcrossBatches: Boolean = false,
-      fpCompactDirs: Int = 64): StreamingQuery = {
+      fpCompactDirs: Int = 64,
+      mediaCol: String = null): StreamingQuery = {
     import spark.implicits._
-    readTurns(spark, inputPath, maxFilesPerTrigger).writeStream
+    readTurns(spark, inputPath, maxFilesPerTrigger, mediaCol).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -351,9 +357,15 @@ object Streaming {
                   - when(seamConv, lit(1L)).otherwise(lit(0L)))
               .drop("_first_idx")
         }
-        val adjusted = sessioned
+        // multimodal stage (opt-in, same body as the batch cycle's):
+        // AFTER the seam correction so its deadletter override outranks
+        // the seam's sink rewrite — exactly the batch ordering, where
+        // the stage runs on the fully-routed frame — and BEFORE the
+        // dedup re-route so an undecodable-media row never reaches the
+        // fingerprint store
+        val adjusted = Main.mediaStage(mediaCol, sessioned
           .drop("carry_header", "carry_fields", "carry_sessions",
-            "carry_max_idx", "carry_prev_belongs")
+            "carry_max_idx", "carry_prev_belongs"))
           .cache()
         // cross-batch dedup (opt-in): same invariant as the batch
         // pipeline's dedupAcrossCycles — rows whose fingerprint an

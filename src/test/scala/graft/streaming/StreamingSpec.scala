@@ -593,4 +593,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(10) == ("2.0", false),
       "a late 1.0 header must not regress the carried 2.0")
   }
+
+  test("streaming media stage: sink routing and decoded metadata match " +
+      "the batch stage row-for-row across micro-batch boundaries; " +
+      "blob-less rows untouched") {
+    import graft.ops.Multimodal
+    val input = s"$scratch/media_in"
+    val sinkRoot = s"$scratch/media_sinks"
+    val ckpt = s"$scratch/media_ckpt"
+    // the batch e2e's mixed-media fixture shape: image / wav / mp4 /
+    // garbage / no blob, cycling on turn_idx
+    val withMedia = Synth.turns(spark, 91L, 30L).map { t =>
+      val media: Array[Byte] = (t.turn_idx % 5) match {
+        case 0 => Multimodal.synthImagePayload(t.turn_idx.toLong)
+        case 1 => Multimodal.synthWavPayload(t.turn_idx.toLong)
+        case 2 => Multimodal.synthMp4Payload(t.turn_idx.toLong)
+        case 3 => Array[Byte](9, 9, 9, 9) // undecodable garbage
+        case _ => null
+      }
+      (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, media)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "media")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nIn = withMedia.count()
+    withMedia.repartition($"day").write.partitionBy("day").parquet(input)
+
+    // small trigger => conversations span micro-batches, so the media
+    // stage runs under carry joins and the seam-free grok codec
+    val q = Streaming.runForeachBatch(spark, input, sinkRoot, ckpt,
+      maxFilesPerTrigger = 2, mediaCol = "media")
+    q.awaitTermination()
+    val out = spark.read.option("basePath", s"$sinkRoot/stream")
+      .parquet(s"$sinkRoot/stream").cache()
+    assert(out.count() == nIn, "no media row dropped by the stream")
+
+    // row-for-row parity with the batch stage on everything the media
+    // stage owns: the (possibly deadletter-overridden) sink and the
+    // merged media metadata
+    val batchStaged = Main.mediaStage("media",
+      Pipeline(withMedia.as[Turn](
+        org.apache.spark.sql.Encoders.product[Turn])))
+    def view(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("conv_id"), col("turn_idx"), col("sink"),
+      element_at(col("meta"), "media_kind").as("k"),
+      element_at(col("meta"), "media_width").as("w"),
+      element_at(col("meta"), "media_height").as("h"),
+      element_at(col("meta"), "media_channels").as("c"),
+      element_at(col("meta"), "media_sample_rate").as("sr"),
+      element_at(col("meta"), "media_bits").as("b"),
+      element_at(col("meta"), "media_duration_ms").as("d"))
+    assert(view(out).exceptAll(view(batchStaged)).isEmpty &&
+      view(batchStaged).exceptAll(view(out)).isEmpty,
+      "stream and batch media stages must agree row-for-row")
+
+    // the contracts, directly: garbage blobs never publish to content
+    // sinks; blob-less rows carry no media keys
+    assert(out.filter(col("sink").isin(Route.contentSinks: _*) &&
+      col("turn_idx") % 5 === 3 && col("media").isNotNull)
+      .count() == 0L)
+    assert(out.filter(col("turn_idx") % 5 === 3 &&
+      col("sink") === "deadletter" && col("media").isNull).count() == 0L,
+      "dead-lettered rows keep their blob for diagnosis")
+    assert(out.filter(col("turn_idx") % 5 === 4 &&
+      element_at(col("meta"), "media_kind").isNotNull).count() == 0L)
+    out.unpersist()
+  }
 }
