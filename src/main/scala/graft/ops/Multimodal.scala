@@ -231,8 +231,14 @@ object Multimodal {
         case 6 => 4
         case _ => return None
       }
-      // dims gate BEFORE any allocation (Long arithmetic: w,h are
-      // untrusted 31-bit values, their product is not)
+      // dims gate BEFORE any allocation. Per-dimension caps FIRST:
+      // w,h are untrusted 32-bit values, so h*(w*ch+1) can exceed
+      // 2^64 and wrap negative (e.g. w=h=0xFFFFFFFF, ch=1 gives
+      // -2^32), sailing past the product gate and reaching the .toInt
+      // truncations below as garbage. Capping each dimension at
+      // MaxDecodedBytes (2^26) bounds the product at ~2^54 — every
+      // blob the caps reject the product gate would reject anyway.
+      if (w > MaxDecodedBytes || h > MaxDecodedBytes) return None
       val expected = h * (w * channels.toLong + 1L)
       if (expected > MaxDecodedBytes) return None
       // chunk walk from the first post-IHDR chunk; IDAT members are

@@ -1077,6 +1077,16 @@ class OpsSpec extends AnyFunSuite {
     // decoded) must classify as undecodable BEFORE any allocation
     assert(Multimodal.PixelCodec.decodePng(
       png(ihdr(20000, 20000, 8, 6, 0), storedZlib(raw))).isEmpty)
+    // dimension-product OVERFLOW guard: w=h=0xFFFFFFFF (gray) makes
+    // h*(w+1) = 2^64 - 2^32, which wraps NEGATIVE in a Long and would
+    // sail past the product gate straight into the .toInt truncations
+    // (yielding a garbage negative-dims Pixels); it must classify
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(-1, -1, 8, 0, 0), storedZlib(Array.emptyByteArray)))
+      .isEmpty)
+    // RGBA variant: h*(w*4+1) ~ 2^64.1 also wraps
+    assert(Multimodal.PixelCodec.decodePng(
+      png(ihdr(-1, 0x40000000, 8, 6, 0), storedZlib(raw))).isEmpty)
     // an inflated stream LONGER than the dims allow is corrupt (2x2
     // gray needs exactly 6 bytes; this stored block carries 7)
     assert(Multimodal.PixelCodec.decodePng(
