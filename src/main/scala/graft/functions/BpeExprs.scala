@@ -112,35 +112,72 @@ object BpeVocab {
 object BpeNative {
 
   /** TEXTBOOK BPE over one (normalized, space-free) word: repeatedly
-    * find the lowest-rank adjacent token pair present anywhere and
-    * merge its leftmost occurrence, until no table pair applies.
-    * Single-pass scan per step keeps the leftmost index of the
-    * strictly-lowest rank (`<`, not `<=`).
+    * merge the leftmost occurrence of the lowest-rank adjacent token
+    * pair present anywhere, until no table pair applies.
+    *
+    * Implemented as a heap over a doubly-linked token list —
+    * O(len·log len) — NOT the naive rescan-per-merge loop, which is
+    * O(len²) and takes tens of seconds on the megabyte alphanumeric
+    * runs (base64 blobs, minified code) a web-scale corpus WILL
+    * contain. Equivalence to the textbook rule: node ids are token
+    * start offsets, so heap order (rank, leftId) IS
+    * (strictly-lowest rank, leftmost occurrence); every live pair
+    * always has a heap entry (all initial pairs are pushed, and each
+    * merge pushes its two new neighbor pairs); stale entries are
+    * detected on pop by re-checking the captured pair strings —
+    * tokens only ever GROW, so a changed token can never revert to
+    * match a stale entry.
     */
   def tokenize(word: String,
       ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    if (word.isEmpty) return Array.empty
-    val toks = new java.util.ArrayList[String](word.length)
-    var c = 0
-    while (c < word.length) { toks.add(word.substring(c, c + 1)); c += 1 }
-    var done = toks.size < 2
-    while (!done) {
-      var bestRank = Int.MaxValue
-      var bestIdx = -1
-      var i = 0
-      while (i < toks.size - 1) {
-        val r = ranks.get(toks.get(i) + " " + toks.get(i + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
-        i += 1
-      }
-      if (bestIdx < 0) done = true
-      else {
-        toks.set(bestIdx, toks.get(bestIdx) + toks.get(bestIdx + 1))
-        toks.remove(bestIdx + 1)
-        done = toks.size < 2
+    val n = word.length
+    if (n == 0) return Array.empty
+    val tok = new Array[String](n) // null = node absorbed (dead)
+    val next = new Array[Int](n) // n = end sentinel
+    val prev = new Array[Int](n) // -1 = start sentinel
+    var i = 0
+    while (i < n) {
+      tok(i) = word.substring(i, i + 1)
+      next(i) = i + 1; prev(i) = i - 1
+      i += 1
+    }
+    // candidate = {rank, left node id, the two token strings at push
+    // time (for lazy invalidation)}
+    final case class Cand(rank: Int, left: Int, a: String, b: String)
+    val heap = new java.util.PriorityQueue[Cand](math.max(16, n),
+      (x: Cand, y: Cand) => {
+        val c = Integer.compare(x.rank, y.rank)
+        if (c != 0) c else Integer.compare(x.left, y.left)
+      })
+    def push(l: Int): Unit = if (l >= 0 && next(l) < n) {
+      val r = ranks.get(tok(l) + " " + tok(next(l)))
+      if (r != null) heap.add(Cand(r, l, tok(l), tok(next(l))))
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var live = n
+    while (!heap.isEmpty && live > 1) {
+      val c = heap.poll()
+      val l = c.left
+      // still valid? the left node must be alive and hold the same
+      // token, and its CURRENT right neighbor must hold the other one
+      // (the neighbor id may have changed; string equality at the same
+      // left position is the same pair at the same place)
+      if (tok(l) != null && tok(l) == c.a && next(l) < n &&
+          tok(next(l)) == c.b) {
+        val r = next(l)
+        tok(l) = tok(l) + tok(r)
+        tok(r) = null
+        next(l) = next(r)
+        if (next(r) < n) prev(next(r)) = l
+        live -= 1
+        push(prev(l)); push(l)
       }
     }
-    toks.toArray(new Array[String](toks.size))
+    val out = new Array[String](live)
+    var k = 0; i = 0
+    while (i < n) { if (tok(i) != null) { out(k) = tok(i); k += 1 }; i += 1 }
+    out
   }
 
   /** Static entry points shared by interpreted eval and generated code. */
