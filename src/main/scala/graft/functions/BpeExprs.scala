@@ -115,11 +115,12 @@ object BpeNative {
     * merge the leftmost occurrence of the lowest-rank adjacent token
     * pair present anywhere, until no table pair applies.
     *
-    * Implemented as a heap over a doubly-linked token list —
-    * O(len·log len) — NOT the naive rescan-per-merge loop, which is
+    * Long words go through a heap over a doubly-linked token list —
+    * O(len·log len) — because the naive rescan-per-merge loop is
     * O(len²) and takes tens of seconds on the megabyte alphanumeric
     * runs (base64 blobs, minified code) a web-scale corpus WILL
-    * contain. Equivalence to the textbook rule: node ids are token
+    * contain; short words keep the scan, whose constants are smaller
+    * (see [[ScanMax]]). Heap equivalence to the rule: node ids are token
     * start offsets, so heap order (rank, leftId) IS
     * (strictly-lowest rank, leftmost occurrence); every live pair
     * always has a heap entry (all initial pairs are pushed, and each
@@ -129,6 +130,47 @@ object BpeNative {
     * match a stale entry.
     */
   def tokenize(word: String,
+      ranks: java.util.HashMap[String, Integer]): Array[String] =
+    // hybrid: the heap's allocations only pay for themselves once the
+    // quadratic scan's len^2 bites; typical corpus words are short and
+    // the scan's constants are far smaller. Both paths implement the
+    // identical textbook rule (property-tested against each other and
+    // the reference across the threshold).
+    if (word.length <= ScanMax) tokenizeScan(word, ranks)
+    else tokenizeHeap(word, ranks)
+
+  private[graft] val ScanMax = 48
+
+  /** The naive rescan-per-merge loop: O(len^2) worst case, smallest
+    * constants — the short-word path.
+    */
+  private[graft] def tokenizeScan(word: String,
+      ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val toks = new java.util.ArrayList[String](word.length)
+    var c = 0
+    while (c < word.length) { toks.add(word.substring(c, c + 1)); c += 1 }
+    var done = toks.size < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < toks.size - 1) {
+        val r = ranks.get(toks.get(i) + " " + toks.get(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        toks.set(bestIdx, toks.get(bestIdx) + toks.get(bestIdx + 1))
+        toks.remove(bestIdx + 1)
+        done = toks.size < 2
+      }
+    }
+    toks.toArray(new Array[String](toks.size))
+  }
+
+  private[graft] def tokenizeHeap(word: String,
       ranks: java.util.HashMap[String, Integer]): Array[String] = {
     val n = word.length
     if (n == 0) return Array.empty

@@ -902,6 +902,25 @@ class OpsSpec extends AnyFunSuite {
       assert(got(w)._2 == want.size)
       assert(got(w)._1.mkString == w, "tokens must reassemble the word")
     }
+    // the long-word HEAP path (words past ScanMax) equals both the
+    // textbook reference and the short-word scan implementation —
+    // randomized lengths straddling the threshold plus a multi-KB run
+    // (the case the heap exists for; the scan is still fine as a
+    // REFERENCE at 5k chars, it is the megabyte case it cannot do)
+    val rk = BpeVocab.ranks(Bpe.realVocab)
+    val longWords = Seq.fill(25)(
+      (0 until (BpeNative.ScanMax - 8 + rng.nextInt(120)))
+        .map(_ => cs(rng.nextInt(cs.length))).mkString) :+
+      (0 until 5000).map(_ => cs(rng.nextInt(cs.length))).mkString
+    for (w <- longWords) {
+      val heap = BpeNative.tokenizeHeap(w, rk).toSeq
+      assert(heap == BpeNative.tokenizeScan(w, rk).toSeq,
+        s"heap != scan on len=${w.length}")
+      if (w.length <= 300)
+        assert(heap == Bpe.tokenizeReference(w, ranksMap),
+          s"heap != textbook on len=${w.length}")
+      assert(heap.mkString == w)
+    }
     // chars outside the charset never merge but never throw
     assert(BpeNative.tokenize("a_b", BpeVocab.ranks(Bpe.realVocab)).toSeq
       == Seq("a", "_", "b"))
