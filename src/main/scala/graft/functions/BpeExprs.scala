@@ -90,7 +90,20 @@ object BpeVocab {
 
   // one ranks map per (JVM, vocab name); merge operands never contain
   // spaces (loadFile enforces it, generated charsets are space-free),
-  // so "a b" is an unambiguous key
+  // so "a b" is an unambiguous key.
+  //
+  // IMMUTABILITY CONTRACT for `file:` vocabs: the cache is keyed by the
+  // NAME string and lives for the JVM — a merges file must never change
+  // content under a path a long-lived executor has already resolved
+  // (a changed file would keep serving the stale table silently).
+  // Treat vocab files as content-addressed: a new vocabulary gets a NEW
+  // path. Additionally, the SparkFiles fallback resolves by BASENAME
+  // (that is how --files ships them), so two different `file:` paths
+  // sharing a basename within one application would resolve to the same
+  // shipped file on executors — give distinct vocabs distinct basenames.
+  // Both rules are what every --files-shipped dictionary already obeys;
+  // they are stated here because violating them fails silently, not
+  // loudly.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.HashMap[String, Integer]]()

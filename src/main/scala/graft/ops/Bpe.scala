@@ -200,11 +200,6 @@ object Bpe {
     aggregate(normalizeWords(text), lit(0L),
       (acc, w) => acc + size(tokenizeWord(w)).cast("long"))
 
-  /** Driver-side TEXTBOOK reference (lowest-rank pair present, its
-    * leftmost occurrence, one merge per step, until fixpoint) — the
-    * equivalence witness for OpsSpec's property test. Never used in a
-    * query plan.
-    */
   /** Textbook reference over an ARBITRARY ranks map (for real-vocab
     * scale, where the demo overload's merges-list scan per step would
     * be O(48k·len) per merge): per step, enumerate adjacent pairs in
@@ -228,6 +223,11 @@ object Bpe {
     toks
   }
 
+  /** Driver-side TEXTBOOK reference (lowest-rank pair present, its
+    * leftmost occurrence, one merge per step, until fixpoint) over the
+    * demo merges list — the equivalence witness for OpsSpec's property
+    * test. Never used in a query plan.
+    */
   def tokenizeReference(word: String): Seq[String] = {
     var toks = word.map(_.toString).toVector
     var done = false

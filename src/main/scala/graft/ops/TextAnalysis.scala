@@ -184,8 +184,16 @@ object TextAnalysis {
     // unit (d14: the BPE token stream) pass their own array expression —
     // the plan stays the same narrow explode either way
     val base = tokensExpr match {
-      case Some(te) => df.select(col(idCol), te.as("_toks"),
-        size(te).cast("long").as("_n"))
+      // materialize the caller's token array ONCE, then size the alias
+      // in a second projection: a single select with both te.as("_toks")
+      // and size(te) evaluates the expression twice whenever codegen
+      // subexpression elimination doesn't apply (interpreted fallback,
+      // codegen size limits) — for d14's BpeTokens that is a full BPE
+      // pass per row duplicated. CollapseProject will not re-inline a
+      // non-cheap expression referenced twice, so the split is stable.
+      case Some(te) => df.select(col(idCol), te.as("_toks"))
+        .select(col(idCol), col("_toks"),
+          size(col("_toks")).cast("long").as("_n"))
       case None => df.select(col(idCol),
         split(trim(col(textCol)), "\\s+").as("_toks"),
         tokenCount(col(textCol)).as("_n"))

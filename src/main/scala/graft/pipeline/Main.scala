@@ -365,7 +365,15 @@ object Main {
             lit("deadletter")).otherwise(col("sink")))
         .withColumn("meta",
           when(col("_media_hdr").isNull, col("meta"))
-            .otherwise(map_concat(col("meta"), map_filter(map(
+            // strip any pre-existing media_* keys first: map_concat
+            // THROWS on duplicate keys under the default
+            // spark.sql.mapKeyDedupPolicy=EXCEPTION, so re-applying the
+            // stage to an already-staged frame (or an input-derived
+            // meta that happens to carry a media_* key) must not be an
+            // executor-crash trap — last write (this stage) wins.
+            .otherwise(map_concat(
+              map_filter(col("meta"), (k, _) => !k.startsWith("media_")),
+              map_filter(map(
               lit("media_kind"), col("_media_hdr.kind"),
               lit("media_width"), col("_media_hdr.width").cast("string"),
               lit("media_height"), col("_media_hdr.height").cast("string"),

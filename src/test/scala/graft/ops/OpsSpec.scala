@@ -956,6 +956,101 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("file: BPE vocab loader — a learned-merges file equals the " +
+      "in-memory table it encodes (expression AND BpeNative), comments " +
+      "and blank lines skipped, malformed lines THROW") {
+    import graft.functions.{BpeExprs, BpeNative, BpeVocab}
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bpevocab")
+    // encode the DEMO table as a merges file, rank = line order, with
+    // the noise a hand-maintained file accumulates: comments, blank
+    // lines, stray surrounding whitespace
+    val lines = new scala.collection.mutable.ArrayBuffer[String]()
+    lines += "# demo vocab as a learned-merges file"
+    lines += ""
+    Bpe.merges.zipWithIndex.foreach { case ((a, b), i) =>
+      lines += s"$a $b"
+      if (i % 5 == 0) lines += "  # rank comment"
+      if (i % 7 == 0) lines += "   "
+    }
+    val f = dir.resolve("demo_merges.txt")
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    val name = s"file:$f"
+    assert(BpeVocab.merges(name) == Bpe.merges.toIndexedSeq,
+      "file: must load exactly the encoded ranks, noise skipped")
+    // tokenization equivalence on randomized words: file: == demo,
+    // through the codegen'd expression and through BpeNative directly
+    val rng = new scala.util.Random(31)
+    val alphabet = "aeilnorstdgh012o"
+    val words = (Seq("the", "standing", "ooo") ++ Seq.fill(40)(
+      (0 to rng.nextInt(11))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString))
+      .filter(_.nonEmpty).distinct
+    val got = words.toDF("w")
+      .select($"w", BpeExprs.bpeTokens($"w", name).as("file"),
+        BpeExprs.bpeTokens($"w", "demo").as("demo"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"'${r.getString(0)}': file: != demo through the expression")
+    }
+    val fileRanks = BpeVocab.ranks(name)
+    for (w <- words)
+      assert(BpeNative.tokenize(w, fileRanks).toSeq
+          == Bpe.tokenizeReference(w),
+        s"'$w': BpeNative over file: ranks != textbook")
+    // malformed line: the loader THROWS (pinned behavior — a silently
+    // skipped rank would shift every later rank and corrupt the vocab)
+    val bad = dir.resolve("bad_merges.txt")
+    java.nio.file.Files.writeString(bad, "a b\na b c\n")
+    val e = intercept[IllegalArgumentException] {
+      BpeVocab.merges(s"file:$bad")
+    }
+    assert(e.getMessage.contains("malformed merges line"),
+      s"want the loud malformed-line error, got: ${e.getMessage}")
+    val empty = dir.resolve("empty_field.txt")
+    java.nio.file.Files.writeString(empty, "a \n")
+    intercept[IllegalArgumentException] {
+      BpeVocab.merges(s"file:$empty")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("file: BPE vocab SparkFiles fallback — a vocab shipped with " +
+      "addFile resolves by basename when the path is not a local file " +
+      "(the --files executor path)") {
+    import graft.functions.{BpeExprs, BpeVocab}
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bpeship")
+    // unique basename per run: SparkFiles resolves by basename and the
+    // ranks cache is keyed by name — both must see a fresh identity
+    val base = s"shipped_merges_${System.nanoTime()}.txt"
+    val f = dir.resolve(base)
+    java.nio.file.Files.writeString(f,
+      Bpe.merges.map { case (a, b) => s"$a $b" }.mkString("\n"))
+    spark.sparkContext.addFile(f.toString)
+    // the name deliberately does NOT resolve as a local path from the
+    // test's working directory, forcing the SparkFiles.get branch.
+    // Resolution must happen INSIDE a task (the production path: a
+    // real cluster's executors fetch --files into the task's artifact
+    // dir before the task body runs; driver-side SparkFiles.get is not
+    // the shipped-file contract) — so the only access here is through
+    // the expression over a repartitioned frame.
+    val name = s"file:$base"
+    assert(!new java.io.File(base).isFile,
+      "precondition: the bare basename must not exist in cwd")
+    val got = Seq("the", "standing", "atoll").toDF("w").repartition(2)
+      .select(BpeExprs.bpeTokens($"w", name).as("t"),
+        BpeExprs.bpeTokens($"w", "demo").as("d"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // the task's resolution populated the per-JVM ranks cache with the
+    // full shipped table
+    assert(BpeVocab.ranks(name).size() == Bpe.merges.size)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("ivfAssignExpr round-before-argmax: a constructed near-tie is " +
       "ulp-decided unrounded but collapses to the deterministic " +
       "largest-cid tie-break when rounded") {
