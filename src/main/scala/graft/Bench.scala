@@ -66,15 +66,236 @@ object Bench {
   }
 }
 
+/** Fixed-cost single-threaded CPU calibration probe — the contended-
+  * window detector the scaling gate needs (BENCH.md: rounds 5-7 all
+  * lost their absolute-band evidence to bursty hypervisor steal that
+  * could only be diagnosed forensically, after the fact). The probe is
+  * deterministic integer work (xorshift64* folded into an accumulator
+  * the caller must consume, so JIT cannot elide it) whose uncontended
+  * wall time on this host is COMMITTED as [[Calibration.Ref]]; any
+  * timed bench pass bracketed by probe samples that deviate more than
+  * [[Calibration.Tol]] above the reference ran in a contended window
+  * and is auto-annotated (and auto-rejected for promotion) rather than
+  * argued about later.
+  */
+object Calibration {
+
+  /** Iterations per sample — sized for ~0.4 s uncontended: long enough
+    * that scheduler jitter averages out, short enough to bracket every
+    * timed pass without distorting the bench.
+    */
+  val Iters: Long = 400000000L
+
+  /** Committed uncontended reference seconds for one [[sample]] on the
+    * bench host (min across many samples in a verified-quiet window;
+    * see BENCH.md "calibration guard"). Round-8 baselining: repeated
+    * 10-sample probes across the session; the quietest stretch read
+    * 0.8086-0.8165 with <1% spread. Override with SPARK_GRAFT_CAL_REF
+    * when re-baselining on new hardware.
+    */
+  val Ref: Double = 0.8086
+
+  /** Relative deviation above [[Ref]] beyond which a window counts as
+    * contended. Steal on this VM arrives in >30% bursts (BENCH.md), so
+    * 10% separates real contention from sample noise with margin.
+    */
+  val Tol: Double = 0.10
+
+  def ref: Double =
+    sys.env.get("SPARK_GRAFT_CAL_REF").map(_.toDouble).getOrElse(Ref)
+  def tol: Double =
+    sys.env.get("SPARK_GRAFT_CAL_TOL").map(_.toDouble).getOrElse(Tol)
+
+  // the accumulator escapes through a volatile so the loop is
+  // observable effectful work to the JIT
+  @volatile var sink: Long = 0L
+
+  /** One timed probe: seconds for [[Iters]] xorshift64* steps. */
+  def sample(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < Iters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    sink = acc
+    sec
+  }
+
+  /** Median of `k` samples (first call warms the JIT with a discarded
+    * probe). Median, not min: the probe measures the window's CURRENT
+    * effective speed — a min would hide exactly the bursts it exists
+    * to catch.
+    */
+  def measure(k: Int = 3): Double = {
+    if (!warmed) { sample(); sample(); warmed = true }
+    val xs = (1 to k).map(_ => sample()).sorted
+    xs(k / 2)
+  }
+  private var warmed = false
+
+  // ---- multi-core memory-bandwidth probe ---------------------------
+  // Round-8 finding: a window can pass the single-thread register
+  // probe CLEAN (dev < 5%) while the 8-core pipeline level sits ~9%
+  // under its historical band — co-tenant contention on shared memory
+  // bandwidth / SMT resources that one register-resident thread cannot
+  // observe. This second probe streams DRAM from [[MemThreads]]
+  // threads at once (per-thread buffers far larger than an LLC slice),
+  // so it sees exactly the shared-resource pressure the scaling
+  // bench's multi-core levels are exposed to.
+
+  val MemThreads = 8
+  val MemWords: Int = 4 << 20 // 4M longs = 32 MiB per thread
+  val MemPasses = 96 // ~24 GiB of total reads per sample (~0.4 s)
+
+  /** Committed uncontended reference seconds for one [[sampleMem]] on
+    * the bench host (see BENCH.md "calibration guard"). Override with
+    * SPARK_GRAFT_MEM_REF when re-baselining.
+    */
+  val MemRef: Double = 0.262
+
+  /** Bandwidth-probe tolerance — wider than [[Tol]]: DRAM streaming is
+    * intrinsically noisier than a register loop (prefetcher state,
+    * page placement), ~15% sample spread even in quiet windows.
+    */
+  val MemTol: Double = 0.18
+
+  def memRef: Double =
+    sys.env.get("SPARK_GRAFT_MEM_REF").map(_.toDouble).getOrElse(MemRef)
+  def memTol: Double =
+    sys.env.get("SPARK_GRAFT_MEM_TOL").map(_.toDouble).getOrElse(MemTol)
+
+  private lazy val memBufs: Array[Array[Long]] =
+    Array.tabulate(MemThreads) { t =>
+      val a = new Array[Long](MemWords)
+      var x = t * 0x9E3779B97F4A7C15L + 1
+      var i = 0
+      while (i < MemWords) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        a(i) = x
+        i += 1
+      }
+      a
+    }
+
+  /** One timed probe: wall seconds for all [[MemThreads]] threads to
+    * stream their buffers [[MemPasses]] times.
+    */
+  def sampleMem(): Double = {
+    val bufs = memBufs
+    val accs = new Array[Long](MemThreads)
+    val threads = (0 until MemThreads).map { t =>
+      new Thread(() => {
+        var acc = 0L
+        var p = 0
+        while (p < MemPasses) {
+          val a = bufs(t)
+          var i = 0
+          while (i < MemWords) { acc += a(i); i += 1 }
+          p += 1
+        }
+        accs(t) = acc
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    sink = accs.sum
+    sec
+  }
+
+  def measureMem(k: Int = 3): Double = {
+    if (!memWarmed) { sampleMem(); sampleMem(); memWarmed = true }
+    val xs = (1 to k).map(_ => sampleMem()).sorted
+    xs(k / 2)
+  }
+  private var memWarmed = false
+}
+
+/** Standalone host-quietness probe: prints calibration samples and the
+  * median's deviation vs the committed reference — run it before
+  * launching a scaling bench so a visibly contended window doesn't
+  * waste a 15-minute measurement (and to re-baseline [[Calibration.Ref]]
+  * on new hardware: take the min over a long quiet stretch).
+  *
+  * Usage: runMain graft.CalibrationProbe [samples]
+  */
+object CalibrationProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.lift(0).map(_.toInt).getOrElse(8)
+    Calibration.sample(); Calibration.sample() // JIT warmup, discarded
+    Calibration.sampleMem(); Calibration.sampleMem()
+    val xs = (1 to k).map { i =>
+      val s = Calibration.sample()
+      val m = Calibration.sampleMem()
+      System.err.println(f"[cal] sample $i: cpu=$s%.4f s mem=$m%.4f s")
+      (s, m)
+    }
+    val med = xs.map(_._1).sorted.apply(k / 2)
+    val memMed = xs.map(_._2).sorted.apply(k / 2)
+    val (ref, mref) = (Calibration.ref, Calibration.memRef)
+    val (tol, mtol) = (Calibration.tol, Calibration.memTol)
+    val dev = math.max(med / ref - 1.0, memMed / mref - 1.0)
+    println(f"""{"cal_median":$med%.4f,"cal_min":${xs.map(_._1).min}%.4f,""" +
+      f""""mem_median":$memMed%.4f,"mem_min":${xs.map(_._2).min}%.4f,""" +
+      f""""ref":$ref,"mem_ref":$mref,"dev":$dev%.4f,""" +
+      f""""ok":${dev <= tol}}""")
+  }
+}
+
 /** The BASELINE.json scaling-efficiency bench: the SAME pipeline job on
   * the SAME input at local[N] and local[4N]; reports both throughputs
   * and efficiency = (T_4N / T_N) / 4 (target >= 0.8). The sandbox has
   * no multi-node cluster, so parallelism levels stand in for executor
   * counts (BASELINE.md).
   *
-  * Usage: runMain graft.ScalingBench [nConvs] [N] [4N]
+  * Every timed pass is bracketed by [[Calibration]] probes; each
+  * level's reported run carries its probe readings, a per-level
+  * `cal_ok`, and a calibration-NORMALIZED reading (sec divided by the
+  * probe slowdown factor, clamped at 1 — see BENCH.md "calibration
+  * guard" for the method). A run whose chosen passes are not all
+  * `cal_ok` writes `"calibration":{"ok":false}` and MUST NOT be
+  * promoted to SCALING.json.
+  *
+  * Usage: runMain graft.ScalingBench [nConvs] [N] [4N] [outFile]
   */
 object ScalingBench {
+
+  private case class Timed(sec: Double, calBefore: Double,
+      calAfter: Double, memBefore: Double, memAfter: Double) {
+    def cpuDev(ref: Double): Double =
+      math.max(calBefore, calAfter) / ref - 1.0
+    def memDev(mref: Double): Double =
+      math.max(memBefore, memAfter) / mref - 1.0
+    // a window is contended when EITHER probe deviates: the register
+    // probe sees CPU steal, the streaming probe sees the shared
+    // memory-bandwidth/SMT pressure multi-core levels are exposed to
+    def dev(ref: Double, mref: Double): Double =
+      math.max(cpuDev(ref), memDev(mref))
+    // each probe gates against ITS tolerance (the bandwidth probe is
+    // intrinsically noisier — Calibration.MemTol)
+    def ok(ref: Double, mref: Double, tol: Double, mtol: Double): Boolean =
+      cpuDev(ref) <= tol && memDev(mref) <= mtol
+    // normalization: the window's effective machine speed is taken
+    // from the WORSE of the two probes, each averaged over its
+    // before/after pair (the max-of-pair is the GATE; the mean is the
+    // fairer slowdown estimate — a burst that only grazed one bracket
+    // should not over-correct the whole pass). Clamped at 1 so a lucky
+    // fast probe can never inflate throughput. Raw numbers are always
+    // reported alongside.
+    def slowdown(ref: Double, mref: Double): Double = {
+      val cpuMean = ((calBefore + calAfter) / 2.0) / ref - 1.0
+      val memMean = ((memBefore + memAfter) / 2.0) / mref - 1.0
+      math.max(1.0, 1.0 + math.max(cpuMean, memMean))
+    }
+    def secNorm(ref: Double, mref: Double): Double =
+      sec / slowdown(ref, mref)
+  }
 
   def main(args: Array[String]): Unit = {
     // defaults = the BENCH.md primary pairing: 17.7M turns, 2 vs 8 cores
@@ -82,6 +303,8 @@ object ScalingBench {
     val nConvs = args.lift(0).map(_.toLong).getOrElse(960000L)
     val n = args.lift(1).map(_.toInt).getOrElse(2)
     val n4 = args.lift(2).map(_.toInt).getOrElse(4 * n)
+    val (ref, mref) = (Calibration.ref, Calibration.memRef)
+    val (tol, mtol) = (Calibration.tol, Calibration.memTol)
 
     // generate the shared input once (any session works for this)
     val gen = BenchPipeline.session(n4)
@@ -94,27 +317,61 @@ object ScalingBench {
     // timing window can be 2x off — per-level minima across interleaved
     // passes approximate the uncontended machine for BOTH levels.
     var rows = 0L
-    val best = scala.collection.mutable.Map[Int, Double]()
+    val runsByLevel =
+      scala.collection.mutable.Map[Int, Vector[Timed]]().withDefaultValue(Vector())
     for (pass <- 1 to 2; cores <- Seq(n, n4)) {
       val spark = BenchPipeline.session(cores)
       BenchPipeline.timePipeline(spark, inputPath) // warmup (JIT + codegen)
-      val runs = (1 to 3).map(_ => BenchPipeline.timePipeline(spark, inputPath))
+      val runs = (1 to 3).map { _ =>
+        val cb = Calibration.measure()
+        val mb = Calibration.measureMem()
+        val (r, s) = BenchPipeline.timePipeline(spark, inputPath)
+        val ca = Calibration.measure()
+        val ma = Calibration.measureMem()
+        rows = r
+        Timed(s, cb, ca, mb, ma)
+      }
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      rows = runs.head._1
-      val b = runs.map(_._2).min
-      best(cores) = math.min(best.getOrElse(cores, Double.MaxValue), b)
-      System.err.println(s"[scaling] pass=$pass cores=$cores rows=$rows " +
-        s"sec=$b tput=${rows / b}")
+      runsByLevel(cores) = runsByLevel(cores) ++ runs
+      val b = runs.minBy(_.sec)
+      System.err.println(f"[scaling] pass=$pass cores=$cores rows=$rows " +
+        f"sec=${b.sec}%.3f tput=${rows / b.sec}%.0f " +
+        f"cal=${b.calBefore}%.3f/${b.calAfter}%.3f " +
+        f"mem=${b.memBefore}%.3f/${b.memAfter}%.3f " +
+        f"dev=${b.dev(ref, mref) * 100}%.1f%% " +
+        f"ok=${b.ok(ref, mref, tol, mtol)}")
     }
-    val (c1, c2) = (n, n4)
-    val (s1, s2) = (best(c1), best(c2))
-    val (t1, t2) = (rows / s1, rows / s2)
-    val eff = (t2 / t1) / (c2.toDouble / c1)
+    // per level: the best RAW pass (the established discipline) plus
+    // its calibration annotation and normalized reading
+    def levelJson(cores: Int): (Timed, String) = {
+      val best = runsByLevel(cores).minBy(_.sec)
+      val (t, tn) = (rows / best.sec, rows / best.secNorm(ref, mref))
+      (best,
+        f"""{"cores":$cores,"sec":${best.sec},"turns_per_sec":$t,""" +
+        f""""cal_before":${best.calBefore},"cal_after":${best.calAfter},""" +
+        f""""mem_before":${best.memBefore},"mem_after":${best.memAfter},""" +
+        f""""cal_dev":${best.cpuDev(ref)},"mem_dev":${best.memDev(mref)},""" +
+        f""""cal_ok":${best.ok(ref, mref, tol, mtol)},""" +
+        f""""slowdown":${best.slowdown(ref, mref)},""" +
+        f""""sec_norm":${best.secNorm(ref, mref)},"turns_per_sec_norm":$tn}""")
+    }
+    val (b1, j1) = levelJson(n)
+    val (b2, j2) = levelJson(n4)
+    val eff = ((rows / b2.sec) / (rows / b1.sec)) / (n4.toDouble / n)
+    val effNorm =
+      ((rows / b2.secNorm(ref, mref)) / (rows / b1.secNorm(ref, mref))) /
+        (n4.toDouble / n)
+    val calOk = b1.ok(ref, mref, tol, mtol) &&
+      b2.ok(ref, mref, tol, mtol)
     val json = s"""{"metric":"scaling_efficiency","value":$eff,""" +
-      s""""rows":$rows,"n":{"cores":$c1,"sec":$s1,"turns_per_sec":$t1},""" +
-      s""""n4":{"cores":$c2,"sec":$s2,"turns_per_sec":$t2}}"""
+      s""""value_norm":$effNorm,"rows":$rows,"n":$j1,"n4":$j2,""" +
+      s""""calibration":{"ref":$ref,"mem_ref":$mref,"tol":$tol,"mem_tol":$mtol,"ok":$calOk}}"""
     println(json)
+    if (!calOk) System.err.println(
+      "[scaling] CONTENDED WINDOW (calibration deviation over tolerance " +
+        "on the chosen pass) — this run must NOT be promoted to " +
+        "SCALING.json; rerun until calibration is clean")
     // machine-readable record of this run. The artifact of record
     // (SCALING.json) is promoted EXPLICITLY by copying a reviewed run
     // file — the harness never writes that path by default, so a

@@ -1069,6 +1069,68 @@ object Queries {
        FROM words JOIN final f ON f.w = words.word
        ORDER BY words.word"""
 
+  /** The d24 LM table: fixed-point log-probs (x1e6) over the documents
+    * vocabulary — unigrams plus a handful of bigrams, so every backoff
+    * branch (bigram hit / penalized unigram / OOV floor) fires on real
+    * corpus rows. ONE literal list generates both the broadcast
+    * DataFrame and the oracle's VALUES clause, so the two engines
+    * cannot drift. (A production table would arrive as a KenLM-derived
+    * artifact; integer log-probs are the same discipline as the kmeans
+    * rounded means.)
+    */
+  val d24Lm: Seq[(String, Long)] = Seq(
+    // unigrams
+    "table" -> -1200000L, "join" -> -1500000L, "row" -> -1600000L,
+    "scan" -> -1700000L, "data" -> -1800000L, "the" -> -2000000L,
+    "a" -> -2100000L, "value" -> -2200000L, "hash" -> -2300000L,
+    "batch" -> -2400000L, "window" -> -2450000L, "query" -> -2500000L,
+    // bigrams
+    "a a" -> -800000L, "batch batch" -> -700000L,
+    "table table" -> -900000L, "the table" -> -1000000L,
+    "join batch" -> -1100000L, "value table" -> -1250000L,
+    "fast table" -> -1300000L, "scan query" -> -1350000L)
+
+  /** N-gram LM perplexity scoring (d24): per-document average
+    * log-probability under a broadcast bigram table with stupid
+    * backoff ([[TextAnalysis.lmScore]]) — the trained-signal quality
+    * filter next to the d03/d13 heuristics. The corpus is exploded to
+    * its token stream, scored via two BROADCAST joins (never shuffled
+    * on its own size), and folded back to one row per document; the
+    * oracle replays the identical backoff rule in SQL from the same
+    * literal table.
+    */
+  def d24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lm = d24Lm.toDF("gram", "logp_x1e6")
+    TextAnalysis.lmScore(t(spark, dir, "documents"), lm)
+      .orderBy(col("doc_id"))
+  }
+
+  val d24Sql: String = {
+    val values = d24Lm
+      .map { case (g, lp) => s"('$g', ${lp})" }.mkString(", ")
+    s"""WITH lm(gram, logp) AS (VALUES $values),
+       t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+             FROM documents WHERE trim(text) <> ''),
+       g AS (SELECT doc_id, i,
+             w[i] AS tok,
+             CASE WHEN i > 1 THEN w[i-1] || ' ' || w[i] END AS bg
+             FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+       s AS (SELECT g.doc_id,
+             CASE WHEN g.i = 1 THEN COALESCE(u.logp, -18000000)
+                  ELSE COALESCE(b.logp, u.logp + -2500000, -18000000)
+             END AS lp
+             FROM g LEFT JOIN lm b ON b.gram = g.bg
+                    LEFT JOIN lm u ON u.gram = g.tok)
+       SELECT doc_id, count(*) AS n_scored,
+              CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6,
+              CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT)
+                AS avg_logp_x1e6,
+              floor(sum(lp) * 1.0 / count(*)) >= -12000000 AS lm_ok
+       FROM s GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** 16-bit SimHash per doc. */
   def d09(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -2366,6 +2428,129 @@ object Queries {
        FROM s GROUP BY media_id, channels, sample_rate, n_frames
        ORDER BY media_id"""
 
+  /** REAL baseline JPEG pixel decode (m08): complete spec-valid
+    * baseline JPEGs (canonical Huffman tables, byte-stuffed entropy
+    * scan, grayscale 4:4:4 / color 4:4:4 / color 4:2:0 by id) carry
+    * closed-form DC-only content; the distributed decode
+    * ([[graft.ops.Jpeg]] — marker walk, Huffman entropy decode,
+    * dequant, double IDCT, chroma upsample, JFIF YCbCr->RGB, no media
+    * libs) must recover every sample exactly. The fixtures pin
+    * q00 = 8*qf so each sample is exact integer arithmetic
+    * (dc*qf + 128) with no rounding boundary, and the color transform
+    * is floor(x + 0.5) over IEEE doubles both engines compute
+    * identically. Output is per-channel integer SUMS (the m05 shape);
+    * the oracle recomputes them from the block formulas alone — it
+    * never touches a JPEG byte. OpsSpec pins AC coefficients and
+    * restart intervals against the naive-reference IDCT, plus the
+    * hostile battery (truncated scan, bad Huffman table, dimension
+    * bomb, progressive classify).
+    */
+  def m08(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Jpeg.jpegPixelStats(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m08Sql: String =
+    """WITH dims AS (
+         SELECT range AS media_id,
+           CAST(16 * (1 + (range * 2654435761) % 3) AS INT) AS w,
+           CAST(16 * (1 + (range * 40503) % 2) AS INT) AS h,
+           CAST(range % 3 AS INT) AS mode,
+           1 + range % 4 AS qf,
+           1 + range % 3 AS qfc
+         FROM range(64)),
+       blocks AS (
+         SELECT d.*, bx.range AS bx, by.range AS by
+         FROM dims d
+         JOIN range(6) bx ON bx.range < d.w // 8
+         JOIN range(4) by ON by.range < d.h // 8),
+       vals AS (
+         SELECT media_id, mode, w, h,
+           ((media_id*7 + bx*3 + by*5) % 32 - 16) * qf + 128 AS yv,
+           CASE WHEN mode = 0 THEN NULL ELSE
+             ((media_id*11
+               + (CASE WHEN mode = 2 THEN bx // 2 ELSE bx END) * 5
+               + (CASE WHEN mode = 2 THEN by // 2 ELSE by END) * 7)
+              % 24 - 12) * qfc + 128 END AS cbv,
+           CASE WHEN mode = 0 THEN NULL ELSE
+             ((media_id*13
+               + (CASE WHEN mode = 2 THEN bx // 2 ELSE bx END) * 7
+               + (CASE WHEN mode = 2 THEN by // 2 ELSE by END) * 3)
+              % 24 - 12) * qfc + 128 END AS crv
+         FROM blocks),
+       rgb AS (
+         SELECT media_id, mode, w, h,
+           CASE WHEN mode = 0 THEN yv
+                ELSE greatest(0, least(255,
+                  floor(yv + 1.402*(crv - 128) + 0.5))) END AS c0,
+           CASE WHEN mode = 0 THEN NULL
+                ELSE greatest(0, least(255,
+                  floor(yv - 0.344136*(cbv - 128)
+                           - 0.714136*(crv - 128) + 0.5))) END AS c1,
+           CASE WHEN mode = 0 THEN NULL
+                ELSE greatest(0, least(255,
+                  floor(yv + 1.772*(cbv - 128) + 0.5))) END AS c2
+         FROM vals)
+       SELECT media_id,
+         CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(CASE WHEN mode = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+         CAST(sum(c0) * 64 AS BIGINT) AS sum_c0,
+         CAST(sum(c1) * 64 AS BIGINT) AS sum_c1,
+         CAST(sum(c2) * 64 AS BIGINT) AS sum_c2
+       FROM rgb
+       GROUP BY media_id, w, h, mode
+       ORDER BY media_id"""
+
+  /** MP4 sample-table walk (m09): frame count, total coded bytes,
+    * duration-weighted bitrate, keyframe density and chunk count from
+    * stsz/stts/stss/stco-or-co64 — pure box-walk arithmetic
+    * (Multimodal.VideoCodec.decodeSampleTables), the actual filter
+    * signals a video curation pipeline uses, with no codec work. The
+    * fixtures fork every variant (constant-size vs per-sample stsz,
+    * stss present vs absent == all-sync, 32-bit stco vs 64-bit co64,
+    * junk siblings at every level); the oracle recomputes everything
+    * from the closed-form table contents — it never touches an MP4
+    * byte. OpsSpec pins the hostile battery (truncated tables, count
+    * overflow, stts/stsz disagreement, zero timescale).
+    */
+  def m09(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.videoSampleStats(spark, 64L)
+      .orderBy(col("media_id"))
+
+  val m09Sql: String =
+    """WITH dims AS (
+         SELECT range AS media_id,
+           1000 + 100 * (range % 9) AS ts,
+           24 + (range * 13) % 60 AS n,
+           100 + range % 50 AS d1,
+           150 + range % 30 AS d2,
+           1 + range % 5 AS k,
+           1 + range % 7 AS m
+         FROM range(64)),
+       persample AS (
+         SELECT d.media_id,
+                sum(200 + (d.media_id * 31 + i.range * 7) % 800) AS tb
+         FROM dims d JOIN range(84) i ON i.range < d.n
+         GROUP BY d.media_id),
+       base AS (
+         SELECT d.media_id, d.n, d.m,
+           CASE WHEN d.media_id % 3 = 0
+                THEN d.n * (200 + (d.media_id * 31) % 800)
+                ELSE p.tb END AS total_bytes,
+           ((d.n // 2) * d.d1 + (d.n - d.n // 2) * d.d2) * 1000 // d.ts
+             AS duration_ms,
+           CASE WHEN d.media_id % 4 = 3 THEN d.n
+                ELSE (d.n - 1) // d.k + 1 END AS n_key
+         FROM dims d JOIN persample p USING (media_id))
+       SELECT media_id,
+         CAST(n AS BIGINT) AS n_frames,
+         CAST(total_bytes AS BIGINT) AS total_bytes,
+         CAST(duration_ms AS BIGINT) AS duration_ms,
+         CAST(total_bytes * 8000 // duration_ms AS BIGINT) AS bitrate_bps,
+         CAST(n_key AS BIGINT) AS n_keyframes,
+         CAST(n_key * 1000 // n AS BIGINT) AS keyframe_density_x1000,
+         CAST(m AS BIGINT) AS n_chunks
+       FROM base ORDER BY media_id"""
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2416,6 +2601,7 @@ object Queries {
     "d21_incremental_lsh" -> (d21 _),
     "d22_bpe_tokens" -> (d22 _),
     "d23_incremental_clusters" -> (d23 _),
+    "d24_lm_perplexity" -> (d24 _),
     "d16_pii_census" -> (d16 _),
     "d17_stratified_sample" -> (d17 _),
     "e01_cosine_topk" -> (e01 _),
@@ -2438,7 +2624,9 @@ object Queries {
     "m04_video_header_decode" -> (m04 _),
     "m05_png_pixel_decode" -> (m05 _),
     "m06_png_thumbnail" -> (m06 _),
-    "m07_pcm_sample_decode" -> (m07 _)
+    "m07_pcm_sample_decode" -> (m07 _),
+    "m08_jpeg_pixel_decode" -> (m08 _),
+    "m09_mp4_sample_tables" -> (m09 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2489,6 +2677,7 @@ object Queries {
     "d21_incremental_lsh" -> d21Sql,
     "d22_bpe_tokens" -> d22Sql,
     "d23_incremental_clusters" -> d23Sql,
+    "d24_lm_perplexity" -> d24Sql,
     "d16_pii_census" -> d16Sql,
     "d17_stratified_sample" -> d17Sql,
     "e01_cosine_topk" -> e01Sql,
@@ -2510,6 +2699,8 @@ object Queries {
     "m05_png_pixel_decode" -> m05Sql,
     "m06_png_thumbnail" -> m06Sql,
     "m07_pcm_sample_decode" -> m07Sql,
+    "m08_jpeg_pixel_decode" -> m08Sql,
+    "m09_mp4_sample_tables" -> m09Sql,
     "p01_pipeline_fanout" -> p01Sql,
     "p02_pipeline_hourly" -> p02Sql
   )

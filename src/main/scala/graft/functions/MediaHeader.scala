@@ -54,7 +54,14 @@ object MediaHeader {
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("bits", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    // video sample-table signals (m09) — null unless the blob is an
+    // MP4 whose stbl parses (decodeSampleTables); the header fields
+    // above stay valid either way, so a table-less MP4 is NOT
+    // undecodable, it just lacks these
+    StructField("n_frames", LongType),
+    StructField("bitrate_bps", LongType),
+    StructField("keyframe_density_x1000", LongType)))
 
   /** Static entry point shared by interpreted eval and generated code.
     * Null result == undecodable. Each codec gates on its own magic, so
@@ -63,7 +70,8 @@ object MediaHeader {
   def compute(payload: Array[Byte]): InternalRow =
     ImageCodec.decodeDims(payload) match {
       case Some((fmt, w, h)) =>
-        row(fmt, Int.box(w), Int.box(h), null, null, null, null)
+        row(fmt, Int.box(w), Int.box(h), null, null, null, null,
+          null, null, null)
       case None => AudioCodec.decodeWav(payload) match {
         // decodeWav's 4th element is the data-chunk BYTE COUNT;
         // duration = bytes / byte-rate (the m03 formula). A declared
@@ -74,12 +82,26 @@ object MediaHeader {
         case Some((ch, rate, bits, dataBytes))
             if rate.toLong * ch * bits / 8 > 0 =>
           row("wav", null, null, Int.box(ch), Int.box(rate), Int.box(bits),
-            Long.box(dataBytes * 1000L / (rate.toLong * ch * bits / 8)))
+            Long.box(dataBytes * 1000L / (rate.toLong * ch * bits / 8)),
+            null, null, null)
         // `_` not `None`: a zero-byte-rate WAV falls through here too
         case _ => VideoCodec.decodeMp4(payload) match {
           case Some((w, h, durMs)) =>
+            // sample-table signals when the stbl parses AND its media
+            // duration floors positive (decodeSampleTables guarantees
+            // totalDelta > 0, not the floored ms) — absent otherwise,
+            // without demoting the header decode
+            val st = VideoCodec.decodeSampleTables(payload)
+              .filter(s => s.totalDelta * 1000L / s.timescale > 0)
             row("mp4", Int.box(w), Int.box(h), null, null, null,
-              Long.box(durMs))
+              Long.box(durMs),
+              st.map(s => Long.box(s.nFrames)).orNull,
+              st.map { s =>
+                val mediaMs = s.totalDelta * 1000L / s.timescale
+                Long.box(s.totalBytes * 8000L / mediaMs)
+              }.orNull,
+              st.map(s =>
+                Long.box(s.nKeyframes * 1000L / s.nFrames)).orNull)
           case None => null
         }
       }

@@ -488,6 +488,212 @@ object Multimodal {
       }
     }
 
+    /** Sample-table statistics (the m09 surface): the curation signals
+      * a video pipeline actually filters on — frame count, total coded
+      * bytes, media timescale, total time delta, sync-sample count,
+      * chunk count — from the FIRST trak carrying a complete stbl
+      * (stsz + stts + stco/co64), via pure box-walk arithmetic over
+      * moov -> trak -> mdia -> (mdhd, minf -> stbl). No codec work: the
+      * sample tables are plain integers in the container. Derived
+      * metrics (duration_ms, bitrate, keyframe density) are computed by
+      * callers from these raw sums so every division is stated once.
+      *
+      * Undecodable (None) whenever: any table is truncated (declared
+      * entry count reaching past its box), an entry count exceeds
+      * [[MaxTableEntries]] (the per-factor cap BEFORE any product — a
+      * u32 count times an entry width must never wrap), stts frame
+      * totals disagree with stsz's count, the timescale is zero, or the
+      * total delta is zero (no duration to weight bitrate by).
+      */
+    final case class SampleStats(nFrames: Long, totalBytes: Long,
+        timescale: Long, totalDelta: Long, nKeyframes: Long,
+        nChunks: Long)
+
+    /** 16M entries — generous for any real movie (a 24 fps feature film
+      * is ~200k frames) while keeping every `count * width` product and
+      * every accumulated sum far from Long overflow.
+      */
+    private val MaxTableEntries = 1L << 24
+
+    def decodeSampleTables(p: Array[Byte]): Option[SampleStats] = {
+      if (p == null || p.length < 12 || fourcc(p, 4) != "ftyp") return None
+      val limit = p.length.toLong
+      var i = 0L
+      while (i + 8 <= limit) {
+        boxAt(p, i, limit) match {
+          case None => return None
+          case Some(("moov", body, end)) =>
+            var j = body
+            while (j + 8 <= end) {
+              boxAt(p, j, end) match {
+                case None => j = end
+                case Some(("trak", tb, te)) =>
+                  val st = parseTrakStbl(p, tb, te)
+                  if (st.isDefined) return st
+                  j = te
+                case Some((_, _, je)) => j = je
+              }
+            }
+            return None // moov walked, no trak with a usable stbl
+          case Some((_, _, end)) => i = end
+        }
+      }
+      None
+    }
+
+    /** mdhd timescale: v0 at payload +12 after 2x u32 times; v1 at +20
+      * after 2x u64 times.
+      */
+    private def parseMdhdTimescale(p: Array[Byte], b: Long,
+        e: Long): Option[Long] = {
+      if (b + 4 > e) return None
+      u8(p, b.toInt) match {
+        case 0 if b + 16 <= e => Some(be32(p, b.toInt + 12))
+        case 1 if b + 24 <= e => Some(be32(p, b.toInt + 20))
+        case _ => None
+      }
+    }
+
+    /** (sampleCount, totalBytes) from stsz: constant-size form when
+      * sample_size != 0, else the per-sample u32 table.
+      */
+    private def parseStsz(p: Array[Byte], b: Long,
+        e: Long): Option[(Long, Long)] = {
+      if (b + 12 > e) return None
+      val sampleSize = be32(p, b.toInt + 4)
+      val count = be32(p, b.toInt + 8)
+      if (count == 0 || count > MaxTableEntries) return None
+      if (sampleSize != 0L) Some((count, sampleSize * count))
+      else if (b + 12 + count * 4 > e) None // truncated table
+      else {
+        var tot = 0L
+        var k = 0L
+        while (k < count) {
+          tot += be32(p, (b + 12 + k * 4).toInt)
+          k += 1
+        }
+        Some((count, tot))
+      }
+    }
+
+    /** (sumSampleCounts, sumCountTimesDelta) from stts. Counts are
+      * capped cumulatively at [[MaxTableEntries]] BEFORE each product,
+      * so `c * d` (two u32s — naïvely up to 2^64) never wraps.
+      */
+    private def parseStts(p: Array[Byte], b: Long,
+        e: Long): Option[(Long, Long)] = {
+      if (b + 8 > e) return None
+      val n = be32(p, b.toInt + 4)
+      if (n > MaxTableEntries) return None
+      if (b + 8 + n * 8 > e) return None // truncated table
+      var sc = 0L
+      var sd = 0L
+      var k = 0L
+      while (k < n) {
+        val c = be32(p, (b + 8 + k * 8).toInt)
+        val d = be32(p, (b + 8 + k * 8 + 4).toInt)
+        sc += c
+        if (sc > MaxTableEntries) return None // cap before the product
+        sd += c * d // c <= 2^24, d < 2^32: product < 2^56, sum < 2^57
+        k += 1
+      }
+      Some((sc, sd))
+    }
+
+    /** Entry count of a u32-per-entry fullbox table (stss, stco), size
+      * checked against the box end.
+      */
+    private def parseCountedU32(p: Array[Byte], b: Long,
+        e: Long, entryBytes: Long): Option[Long] = {
+      if (b + 8 > e) return None
+      val n = be32(p, b.toInt + 4)
+      if (n > MaxTableEntries) return None
+      if (b + 8 + n * entryBytes > e) None else Some(n)
+    }
+
+    private def parseTrakStbl(p: Array[Byte], tb: Long,
+        te: Long): Option[SampleStats] = {
+      var timescale = -1L
+      var stbl: Option[(Long, Long)] = None
+      var j = tb
+      while (j + 8 <= te) {
+        boxAt(p, j, te) match {
+          case None => return None
+          case Some(("mdia", mb, me)) =>
+            var k = mb
+            while (k + 8 <= me) {
+              boxAt(p, k, me) match {
+                case None => return None
+                case Some(("mdhd", hb, he)) =>
+                  timescale = parseMdhdTimescale(p, hb, he).getOrElse(-1L)
+                  k = he
+                case Some(("minf", nb, ne)) =>
+                  var q = nb
+                  while (q + 8 <= ne && stbl.isEmpty) {
+                    boxAt(p, q, ne) match {
+                      case None => return None
+                      case Some(("stbl", sb, se)) => stbl = Some((sb, se))
+                      case Some((_, _, qe)) => q = qe
+                    }
+                  }
+                  k = ne
+                case Some((_, _, ke)) => k = ke
+              }
+            }
+            j = me
+          case Some((_, _, je)) => j = je
+        }
+      }
+      for {
+        (sb, se) <- stbl
+        if timescale > 0
+        stats <- parseStblTables(p, sb, se, timescale)
+      } yield stats
+    }
+
+    private def parseStblTables(p: Array[Byte], sb: Long, se: Long,
+        timescale: Long): Option[SampleStats] = {
+      var stsz: Option[(Long, Long)] = None
+      var stts: Option[(Long, Long)] = None
+      var stss: Option[Long] = None
+      var chunks: Option[Long] = None
+      var q = sb
+      while (q + 8 <= se) {
+        boxAt(p, q, se) match {
+          case None => return None
+          case Some((typ, b, e)) =>
+            typ match {
+              case "stsz" => stsz = parseStsz(p, b, e)
+                if (stsz.isEmpty) return None // present but corrupt
+              case "stts" => stts = parseStts(p, b, e)
+                if (stts.isEmpty) return None
+              case "stss" => stss = parseCountedU32(p, b, e, 4L)
+                if (stss.isEmpty) return None
+              case "stco" => chunks = parseCountedU32(p, b, e, 4L)
+                if (chunks.isEmpty) return None
+              case "co64" => chunks = parseCountedU32(p, b, e, 8L)
+                if (chunks.isEmpty) return None
+              case _ => // stsd/stsc/sdtp/...: not this walk's business
+            }
+            q = e
+        }
+      }
+      for {
+        (nFrames, totalBytes) <- stsz
+        (sumCounts, totalDelta) <- stts
+        nChunks <- chunks
+        // stts and stsz must agree on the frame count; a zero delta
+        // leaves nothing to weight bitrate by; the byte total is capped
+        // (2^50 ~ a petabyte of coded samples — garbage) so every
+        // downstream `totalBytes * 8000` bitrate product stays far from
+        // Long overflow without each caller re-guarding
+        if sumCounts == nFrames && totalDelta > 0 &&
+          totalBytes <= (1L << 50)
+      } yield SampleStats(nFrames, totalBytes, timescale, totalDelta,
+        stss.getOrElse(nFrames), // no stss == every sample is sync
+        nChunks)
+    }
+
     /** First tkhd inside a trak with NONZERO 16.16 display dims (a
       * sound track's tkhd carries 0x0 — not this track's business).
       */
@@ -600,6 +806,142 @@ object Multimodal {
         }
       }
       .toDF("media_id", "format", "width", "height", "duration_ms")
+  }
+
+  /** Deterministic REAL MP4 payloads WITH SAMPLE TABLES for the m09
+    * oracle: closed-form stsz/stts/stss/stco contents any engine
+    * recomputes. Structure proves the walk: a sound trak with NO mdia
+    * precedes the video trak (must be skipped), the video trak hides
+    * its mdia behind a junk edts sibling, the stbl carries a junk stsd
+    * first, and the variants fork on id — constant-size stsz (id%3==0)
+    * vs per-sample table; stss present (sync every k-th frame) vs
+    * absent (id%4==3: all frames sync); 32-bit stco (even id) vs
+    * 64-bit co64 (odd id).
+    */
+  def synthStblParams(id: Long): (Long, Long, Long, Long, Long, Long) = (
+    1000L + 100L * (id % 9), // timescale
+    24L + (id * 13) % 60,    // n frames
+    100L + id % 50,          // stts delta for the first half
+    150L + id % 30,          // stts delta for the rest
+    1L + id % 5,             // sync stride k (stss: frames 1, 1+k, ...)
+    1L + id % 7)             // chunk count
+
+  def synthStblSampleSize(id: Long, i: Long): Long =
+    200L + (id * 31 + i * 7) % 800
+
+  def synthMp4StblPayload(id: Long): Array[Byte] = {
+    val (ts, n, d1, d2, k, m) = synthStblParams(id)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    def full(rest: java.nio.ByteBuffer => Unit, cap: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(cap)
+      bb.putInt(0) // version 0 + flags
+      rest(bb)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val mdhd = box("mdhd", full(bb => {
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(ts.toInt).putInt(0) // timescale, duration (unused here)
+      bb.putInt(0) // language + predefined
+    }, 32))
+    val stsz = box("stsz", full(bb => {
+      if (id % 3 == 0) {
+        bb.putInt(synthStblSampleSize(id, 0).toInt).putInt(n.toInt)
+      } else {
+        bb.putInt(0).putInt(n.toInt)
+        var i = 0L
+        while (i < n) { bb.putInt(synthStblSampleSize(id, i).toInt); i += 1 }
+      }
+    }, 16 + 4 * n.toInt))
+    val stts = box("stts", full(bb => {
+      bb.putInt(2)
+      bb.putInt((n / 2).toInt).putInt(d1.toInt)
+      bb.putInt((n - n / 2).toInt).putInt(d2.toInt)
+    }, 32))
+    val nSync = (n - 1) / k + 1
+    val stss =
+      if (id % 4 == 3) Array.empty[Byte]
+      else box("stss", full(bb => {
+        bb.putInt(nSync.toInt)
+        var s = 1L
+        while (s <= n) { bb.putInt(s.toInt); s += k }
+      }, 16 + 4 * nSync.toInt))
+    val chunkTable =
+      if (id % 2 == 0) box("stco", full(bb => {
+        bb.putInt(m.toInt)
+        var i = 0L
+        while (i < m) { bb.putInt((4096L * (i + 1)).toInt); i += 1 }
+      }, 16 + 4 * m.toInt))
+      else box("co64", full(bb => {
+        bb.putInt(m.toInt)
+        var i = 0L
+        while (i < m) { bb.putLong(4096L * (i + 1)); i += 1 }
+      }, 16 + 8 * m.toInt))
+    val stbl = box("stbl",
+      box("stsd", "graftjunksd".getBytes("US-ASCII")) ++
+        stsz ++ stts ++ stss ++ chunkTable)
+    val minf = box("minf",
+      box("vmhd", "graftjunkvm".getBytes("US-ASCII")) ++ stbl)
+    val mdia = box("mdia", mdhd ++
+      box("hdlr", "graftjunkhd".getBytes("US-ASCII")) ++ minf)
+    // mvhd + tkhd ride along (fixed presentation values — m09 verifies
+    // the SAMPLE tables) so the same payload also passes the header
+    // decode: MediaHeader attaches sample-table signals only to blobs
+    // whose mp4 header already parsed.
+    val mvhd = box("mvhd", full(bb => {
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(1000).putInt(5000) // presentation timescale, duration
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      bb.put(new Array[Byte](10 + 36 + 24))
+      bb.putInt(2)
+    }, 128))
+    val tkhd = box("tkhd", full(bb => {
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(1).putInt(0) // track id, reserved
+      bb.putInt(5000) // duration
+      bb.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))
+      bb.putInt(320 << 16).putInt(240 << 16) // 16.16 fixed dims
+    }, 128))
+    val soundTrak = box("trak", // no mdia at all: the walker must skip
+      box("tkhd", new Array[Byte](88)))
+    val videoTrak = box("trak",
+      box("edts", "graftjunkedit".getBytes("US-ASCII")) ++ tkhd ++ mdia)
+    val moov = box("moov",
+      box("udta", "graftjunk".getBytes("US-ASCII")) ++ mvhd ++
+        soundTrak ++ videoTrak)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    ftyp ++ moov
+  }
+
+  /** Distributed MP4 sample-table extraction — the m09 query body
+    * (same shape as [[videoMeta]]: narrow map, blobs never shuffled).
+    * Derived metrics use integer floor division in a FIXED order
+    * (duration first, then bitrate over the floored duration) so the
+    * oracle can restate them exactly.
+    */
+  def videoSampleStats(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        VideoCodec.decodeSampleTables(synthMp4StblPayload(id)) match {
+          // the floored duration must stay positive to weight bitrate
+          // by (sub-ms media: nothing meaningful to report)
+          case Some(s) if s.totalDelta * 1000L / s.timescale > 0 =>
+            val durMs = s.totalDelta * 1000L / s.timescale
+            (id, s.nFrames, s.totalBytes, durMs,
+              s.totalBytes * 8000L / durMs,
+              s.nKeyframes, s.nKeyframes * 1000L / s.nFrames, s.nChunks)
+          case _ => (id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      .toDF("media_id", "n_frames", "total_bytes", "duration_ms",
+        "bitrate_bps", "n_keyframes", "keyframe_density_x1000",
+        "n_chunks")
   }
 
   /** Deterministic REAL WAV payloads for the m03 oracle: closed-form
@@ -1050,11 +1392,14 @@ object Multimodal {
       .toDF("media_id", "tx", "ty", "c0", "c1", "c2", "c3")
   }
 
-  /** STUB decoder for PIXEL-level work only (feature extraction,
-    * resample) — a real implementation would wrap an image/audio
-    * library, which this environment lacks; the dataflow around it
-    * (batching, instance reuse, schema) is production-shaped and the
-    * container-header surface is REAL ([[ImageCodec]]).
+  /** STUB decoder — after round 8 it covers VIDEO FRAME decode only
+    * (PNG pixels, baseline-JPEG pixels and 16-bit PCM samples are all
+    * REAL: [[PixelCodec]], [[graft.ops.Jpeg]], [[PcmCodec]]); a real
+    * frame decoder would wrap a video codec library, which this
+    * environment lacks. The dataflow around it (batching, instance
+    * reuse, schema) is production-shaped, and the container surface
+    * for video is real ([[VideoCodec]], incl. the m09 sample-table
+    * walk).
     */
   object StubCodec {
     /** "Decode": validate magic, read header dims, hash the body into a
@@ -1105,12 +1450,15 @@ object Multimodal {
         media.sparkSession.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         // codec init happens once per task, not per row. Dispatch:
-        // a decodable PNG takes the REAL pixel path ([[pngFeatures]]
-        // over [[PixelCodec]] output); everything else falls back to
-        // the disclosed stub (lossy codecs need media libs this
-        // container lacks).
+        // a decodable PNG or baseline JPEG takes the REAL pixel path
+        // ([[pngFeatures]] — it consumes decoded Pixels, whichever
+        // codec produced them); decodable 16-bit PCM takes the real
+        // sample path; everything else falls back to the disclosed
+        // stub (video FRAME decode needs media libs this container
+        // lacks).
         it.map { m =>
-          val (checksum, feat) = PixelCodec.decodePng(m.payload) match {
+          val (checksum, feat) = PixelCodec.decodePng(m.payload)
+              .orElse(Jpeg.decodeBaseline(m.payload)) match {
             case Some(px) => pngFeatures(px, dims)
             case None => PcmCodec.decodePcm16(m.payload) match {
               case Some((ch, rate, samples)) =>

@@ -248,6 +248,65 @@ object TextAnalysis {
     conv(digit, 16, 10).cast("int") < rate16
   }
 
+  /** N-gram LM log-probability scoring with stupid backoff — the
+    * trained-signal quality filter (KenLM-shaped) the heuristic family
+    * (qualityFeatures / repetitionFeatures) lacks: score each token by
+    * its BIGRAM (prev, tok) when the LM table knows it, else by its
+    * UNIGRAM plus a backoff penalty, else by an OOV floor; the first
+    * token has no context and scores unigram-or-OOV directly (no
+    * penalty — nothing higher-order was attempted). Log-probs are
+    * integer fixed-point (x1e6), like the kmeans rounded means, so
+    * Spark and the DuckDB oracle agree bit-for-bit with no float-drift
+    * surface.
+    *
+    * Scale shape: the LM table is small by definition (a trained table
+    * ships as an artifact) — it rides TWO BROADCAST hash joins (bigram
+    * key, unigram key) against the exploded token stream, so the corpus
+    * is never shuffled on its own size; the only Exchange is the final
+    * per-doc aggregate, which is map-side combinable. Output per doc:
+    * n_scored, sum_logp_x1e6, avg_logp_x1e6 (floor), lm_ok.
+    *
+    * `lm` columns: gram (a unigram "w" or a bigram "a b"), logp_x1e6.
+    */
+  def lmScore(df: DataFrame, lm: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      backoffPenaltyX1e6: Long = -2500000L,
+      oovX1e6: Long = -18000000L,
+      keepThresholdX1e6: Long = -12000000L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val base = df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("_toks"),
+        tokenCount(col(textCol)).as("_n"))
+      .filter(col("_n") > 0)
+    val grams = base
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(1), col("_n"))).as("_i"))
+      .select(col(idCol), col("_i"),
+        element_at(col("_toks"), col("_i")).as("_tok"),
+        when(col("_i") > 1, concat_ws(" ",
+          element_at(col("_toks"), col("_i") - 1),
+          element_at(col("_toks"), col("_i")))).as("_bg"))
+    val bi = broadcast(lm.select(col("gram").as("_bgk"),
+      col("logp_x1e6").as("_bglp")))
+    val uni = broadcast(lm.select(col("gram").as("_ugk"),
+      col("logp_x1e6").as("_uglp")))
+    grams
+      .join(bi, col("_bg") === col("_bgk"), "left")
+      .join(uni, col("_tok") === col("_ugk"), "left")
+      .select(col(idCol),
+        when(col("_i") === 1,
+          coalesce(col("_uglp"), lit(oovX1e6)))
+          .otherwise(coalesce(col("_bglp"),
+            col("_uglp") + lit(backoffPenaltyX1e6),
+            lit(oovX1e6))).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("_lp")).as("sum_logp_x1e6"))
+      .withColumn("avg_logp_x1e6",
+        floor(col("sum_logp_x1e6") / col("n_scored")).cast("long"))
+      .withColumn("lm_ok", col("avg_logp_x1e6") >= keepThresholdX1e6)
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — a
     * content-defined fingerprint that, unlike md5, supports windowed
     * near-dup chunking. Implemented as a codegen-friendly aggregate

@@ -340,14 +340,17 @@ object Main {
     */
   private[pipeline] def mediaStage(cfg: PipelineConfig,
       routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    mediaStage(if (cfg.mediaConfigured) cfg.mediaCol else null, routed)
+    mediaStage(if (cfg.mediaConfigured) cfg.mediaCol else null, routed,
+      cfg.mediaFeatures, cfg.mediaThumbSide)
 
   /** String-keyed form shared with the streaming path
     * ([[graft.streaming.Streaming.runForeachBatch]]), which has no
     * PipelineConfig — same stage, same semantics, one body.
     */
   private[graft] def mediaStage(mediaCol: String,
-      routed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      routed: org.apache.spark.sql.DataFrame,
+      features: Boolean = false,
+      thumbSide: Int = 0): org.apache.spark.sql.DataFrame =
     // the column-presence guard covers frames that predate the media
     // config (a redrive of manifests written before --media-col was
     // turned on): nothing to decode there, pass through
@@ -383,9 +386,40 @@ object Main {
               col("_media_hdr.sample_rate").cast("string"),
               lit("media_bits"), col("_media_hdr.bits").cast("string"),
               lit("media_duration_ms"),
-              col("_media_hdr.duration_ms").cast("string")),
+              col("_media_hdr.duration_ms").cast("string"),
+              lit("media_n_frames"),
+              col("_media_hdr.n_frames").cast("string"),
+              lit("media_bitrate_bps"),
+              col("_media_hdr.bitrate_bps").cast("string"),
+              lit("media_keyframe_density_x1000"),
+              col("_media_hdr.keyframe_density_x1000").cast("string")),
               (_, v) => v.isNotNull))))
         .drop("_media_hdr")
+        // opt-in FEATURE columns, fused into the same narrow map: real
+        // sample decode (PNG pixels / 16-bit PCM) -> checksum + feature
+        // vector; NULL where only a lossy codec could decode (the
+        // null-flag contract — the row keeps riding, the header stage
+        // above has already dead-lettered corrupt containers). The
+        // struct is materialized ONCE, then fields are projected in a
+        // SECOND select (the chunkPlan discipline: CollapseProject will
+        // not re-inline a non-cheap expression referenced twice).
+        .transform { df =>
+          if (!features) df
+          else df
+            .withColumn("_media_featstruct",
+              graft.functions.MediaFeatureExprs.mediaFeatures(
+                col(mediaCol)))
+            .select(df.columns.map(col) :+
+              col("_media_featstruct.checksum").as("media_checksum") :+
+              col("_media_featstruct.feat").as("media_feat"): _*)
+        }
+        // opt-in thumbnail bytes (decodable PNGs only), same narrow map
+        .transform { df =>
+          if (thumbSide <= 0) df
+          else df.withColumn("media_thumb",
+            graft.functions.MediaFeatureExprs.mediaThumb(
+              col(mediaCol), thumbSide))
+        }
     }
 
   private def dedupStage(spark: SparkSession, cfg: PipelineConfig,
@@ -743,7 +777,9 @@ object Main {
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       dedupAcrossCycles = opts.get("dedup-across-cycles")
         .exists(_.toBoolean),
-      mediaCol = opts.getOrElse("media-col", null))
+      mediaCol = opts.getOrElse("media-col", null),
+      mediaFeatures = opts.get("media-features").exists(_.toBoolean),
+      mediaThumbSide = opts.getOrElse("media-thumb-side", "0").toInt)
     val res =
       if (redrive) redriveDeferred(spark, cfg, asOf)
       else runCycle(spark, cfg, asOf)

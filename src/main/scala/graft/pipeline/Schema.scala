@@ -154,7 +154,18 @@ case class PipelineConfig(
     // once (narrow map, blobs never shuffled), merges the decoded
     // metadata into the P7 meta map, and re-routes content-sink rows
     // whose NON-NULL blob decodes to nothing to the dead-letter sink.
-    mediaCol: String = null) {
+    mediaCol: String = null,
+    // opt-in media FEATURE columns (requires mediaCol): the same
+    // narrow map additionally runs the fused sample decode + feature
+    // extraction (real for PNG pixels / 16-bit PCM; NULL for blobs
+    // only a lossy codec could open — the null-flag contract, rows
+    // keep riding) and publishes media_checksum + media_feat columns
+    // beside meta.
+    mediaFeatures: Boolean = false,
+    // opt-in thumbnails (requires mediaCol; 0 = off): adds a
+    // media_thumb binary column (side x side x channels nearest-
+    // neighbor bytes) for decodable PNGs, NULL otherwise.
+    mediaThumbSide: Int = 0) {
 
   /** The ONE definition of "S6 is configured" (empty string == null ==
     * disabled) — gates the eligibility predicate, the schema extension,

@@ -272,7 +272,9 @@ object Streaming {
       codec: Pipeline.Codec = Pipeline.GrokCodec,
       dedupAcrossBatches: Boolean = false,
       fpCompactDirs: Int = 64,
-      mediaCol: String = null): StreamingQuery = {
+      mediaCol: String = null,
+      mediaFeatures: Boolean = false,
+      mediaThumbSide: Int = 0): StreamingQuery = {
     import spark.implicits._
     readTurns(spark, inputPath, maxFilesPerTrigger, mediaCol).writeStream
       .option("checkpointLocation", checkpoint)
@@ -365,7 +367,8 @@ object Streaming {
         // fingerprint store
         val adjusted = Main.mediaStage(mediaCol, sessioned
           .drop("carry_header", "carry_fields", "carry_sessions",
-            "carry_max_idx", "carry_prev_belongs"))
+            "carry_max_idx", "carry_prev_belongs"),
+          mediaFeatures, mediaThumbSide)
           .cache()
         // cross-batch dedup (opt-in): same invariant as the batch
         // pipeline's dedupAcrossCycles — rows whose fingerprint an

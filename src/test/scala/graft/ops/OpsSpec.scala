@@ -1048,7 +1048,310 @@ class OpsSpec extends AnyFunSuite {
     // the task's resolution populated the per-JVM ranks cache with the
     // full shipped table
     assert(BpeVocab.ranks(name).size() == Bpe.merges.size)
-    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    // deliberately NO cleanup: an addFile SOURCE must outlive the
+    // SparkContext — every later task in the shared test session
+    // re-verifies all added files against their sources, so deleting
+    // the file here poisons every subsequent suite (observed: dozens of
+    // unrelated failures). The dir lives under target/ scratch.
+  }
+
+  test("baseline JPEG decode (m08): fixtures decode to their closed " +
+      "forms across gray/4:4:4/4:2:0; restart intervals are " +
+      "value-neutral; hostile battery classifies, never throws") {
+    // closed-form agreement, every output sample, first 12 ids
+    for (id <- 0L until 12L) {
+      val (w, h, mode) = Jpeg.synthJpegParams(id)
+      val px = Jpeg.decodeBaseline(Jpeg.synthJpegPayload(id))
+        .getOrElse(fail(s"id=$id must decode"))
+      assert((px.width, px.height) == ((w, h)))
+      assert(px.channels == (if (mode == 0) 1 else 3))
+      val qf = Jpeg.synthJpegQf(id)
+      val qfc = Jpeg.synthJpegQfC(id)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (bx, by) = (x / 8, y / 8)
+        val yv = Jpeg.synthJpegDcY(id, bx, by) * qf + 128
+        if (mode == 0) {
+          assert((px.data(y * w + x) & 0xff) == yv,
+            s"id=$id gray ($x,$y)")
+        } else {
+          val (cx, cy) = if (mode == 2) (bx / 2, by / 2) else (bx, by)
+          val cb = Jpeg.synthJpegDcCb(id, cx, cy) * qfc + 128
+          val cr = Jpeg.synthJpegDcCr(id, cx, cy) * qfc + 128
+          def cl(v: Double): Int =
+            math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+          val o = (y * w + x) * 3
+          assert((px.data(o) & 0xff) == cl(yv + 1.402 * (cr - 128)),
+            s"id=$id R ($x,$y)")
+          assert((px.data(o + 1) & 0xff) ==
+            cl(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            s"id=$id G ($x,$y)")
+          assert((px.data(o + 2) & 0xff) == cl(yv + 1.772 * (cb - 128)),
+            s"id=$id B ($x,$y)")
+        }
+      }
+    }
+    // restart markers are value-neutral (DC predictors reset on both
+    // the encode and decode side)
+    for (id <- 0L until 6L) {
+      val plain = Jpeg.decodeBaseline(Jpeg.synthJpegPayload(id)).get
+      val rst = Jpeg.decodeBaseline(Jpeg.synthJpegPayload(id, 2)).get
+      assert(plain.data.toSeq == rst.data.toSeq, s"id=$id restart")
+    }
+    // ---- hostile battery over a valid payload ----
+    val base = Jpeg.synthJpegPayload(4L) // color 4:4:4, 48x16
+    def findMarker(m: Int): Int = {
+      val i = base.indices.dropRight(1).indexWhere(i =>
+        (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == m)
+      assert(i >= 0, f"fixture must contain marker FF$m%02X"); i
+    }
+    def patched(at: Int, v: Int*): Array[Byte] = {
+      val c = base.clone()
+      v.indices.foreach(j => c(at + j) = v(j).toByte); c
+    }
+    // truncated scan: cut shortly after SOS
+    val sosAt = findMarker(0xda)
+    assert(Jpeg.decodeBaseline(
+      java.util.Arrays.copyOf(base, sosAt + 16)).isEmpty,
+      "truncated scan must classify undecodable")
+    // corrupt entropy data: 0xF0 is an invalid Huffman prefix under
+    // the fixture's DC table (codes are 0000..1011)
+    val scanStart = sosAt + 2 + 2 + 10 // marker + len(2) + body(1+6+3)
+    assert(Jpeg.decodeBaseline(patched(scanStart, 0xf0)).isEmpty,
+      "invalid Huffman code must classify undecodable")
+    // dimension bomb: huge declared dims must gate BEFORE allocation
+    val sofAt = findMarker(0xc0)
+    assert(Jpeg.decodeBaseline(
+      patched(sofAt + 5, 0xff, 0xff, 0xff, 0xff)).isEmpty,
+      "dimension bomb must classify undecodable")
+    // progressive (SOF2) is outside the baseline profile
+    assert(Jpeg.decodeBaseline(patched(sofAt + 1, 0xc2)).isEmpty,
+      "progressive must classify undecodable")
+    // a referenced-but-never-declared Huffman table: retag the first
+    // DHT as a COM segment (same length, now skipped)
+    val dhtAt = findMarker(0xc4)
+    assert(Jpeg.decodeBaseline(patched(dhtAt + 1, 0xfe)).isEmpty,
+      "missing DC table must classify undecodable")
+    assert(Jpeg.decodeBaseline(base).isDefined, "base stays decodable")
+    assert(Jpeg.decodeBaseline(null).isEmpty)
+    assert(Jpeg.decodeBaseline(Array[Byte](0xff.toByte, 0xd8.toByte))
+      .isEmpty)
+  }
+
+  test("baseline JPEG AC path: a hand-encoded block with AC " +
+      "coefficients (runs, sizes, EOB) decodes to the naive " +
+      "double-IDCT reference computed independently here") {
+    // single 8x8 grayscale block; quant = 3 everywhere; coefficients:
+    // DC=9, AC at zigzag 1 (value 5), then a 2-zero run to zigzag 4
+    // (value -2), EOB
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    marker(0xdb, Array(0x00) ++ Array.fill(64)(3))
+    marker(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    // DC table: 12 codes of length 4 (code == category)
+    marker(0xc4, Array(0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0) ++ (0 to 11))
+    // AC table: length-2 codes 00=EOB, 01=(r0,s3), 10=(r2,s2)
+    marker(0xc4, Array(0x10, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0x00, 0x03, 0x22))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // entropy bits: DC cat4 code "0100" + 9 as "1001"; AC "01" + 5 as
+    // "101"; AC "10" + -2 as "01" (size-2 one's-complement-ish
+    // encoding: v + (1<<s) - 1 = 1 = "01"); EOB "00" -> pad with 1s
+    val bits = "0100" + "1001" + "01" + "101" + "10" + "01" + "00"
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).foreach(b => out.write(Integer.parseInt(b, 2)))
+    out.write(0xff); out.write(0xd9)
+    val px = Jpeg.decodeBaseline(out.toByteArray)
+      .getOrElse(fail("AC fixture must decode"))
+    assert((px.width, px.height, px.channels) == ((8, 8, 1)))
+    // naive reference: direct T.81 IDCT double loop, written here
+    // independently of the decoder's separable implementation
+    val coef = new Array[Int](64)
+    coef(0) = 9 * 3
+    coef(1) = 5 * 3 // zigzag 1 == natural (r0, c1)
+    coef(1 * 8 + 1) = -2 * 3 // zigzag 4 == natural (r1, c1)
+    def cFn(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (r <- 0 until 8; c <- 0 until 8)
+        s += cFn(r) * cFn(c) / 4.0 * coef(r * 8 + c) *
+          math.cos((2 * x + 1) * c * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * r * math.Pi / 16.0)
+      // the separable decoder sums in a different ORDER, so allow the
+      // one-ulp-at-a-boundary case by comparing against both the naive
+      // value and its +-1 neighborhood ONLY when s sits within 1e-9 of
+      // a .5 boundary; everywhere else the match must be exact
+      val frac = s + 128.0 + 0.5
+      val want = math.max(0.0, math.min(255.0, math.floor(frac))).toInt
+      val got = px.data(y * 8 + x) & 0xff
+      if (math.abs(frac - math.rint(frac)) < 1e-9)
+        assert(math.abs(got - want) <= 1,
+          s"($x,$y): boundary case, got $got want ~$want")
+      else assert(got == want, s"($x,$y): got $got want $want")
+    }
+  }
+
+  test("JPEG features are REAL in both feature dispatches (checksum == " +
+      "CRC32 of the decoded samples), and m08's own fixtures decode " +
+      "through MediaHeader as jpeg headers") {
+    import graft.functions.{MediaFeatureNative, MediaHeader}
+    val payload = Jpeg.synthJpegPayload(7L)
+    val px = Jpeg.decodeBaseline(payload).get
+    val crc = new java.util.zip.CRC32()
+    crc.update(px.data)
+    // the native expression's static compute
+    val row = MediaFeatureNative.features(payload, 16)
+    assert(row != null && row.getLong(0) == crc.getValue)
+    // the batched Dataset path
+    val feats = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(7L, "image", payload, px.width, px.height,
+        0)).toDS()).collect()
+    assert(feats.head.checksum == crc.getValue)
+    // header dispatch still classifies it as a jpeg
+    val hdr = MediaHeader.compute(payload)
+    assert(hdr != null && hdr.getUTF8String(0).toString == "jpeg")
+  }
+
+  test("MP4 sample-table walk (m09): fixtures decode to their closed " +
+      "forms; hostile battery — truncated tables, count overflow, " +
+      "stts/stsz disagreement, zero timescale — classifies, never throws") {
+    import Multimodal.VideoCodec
+    // closed-form agreement on a spread of ids covering every variant
+    // fork (constant/per-sample stsz, stss present/absent, stco/co64)
+    for (id <- 0L until 16L) {
+      val (ts, n, d1, d2, k, m) = Multimodal.synthStblParams(id)
+      val s = VideoCodec.decodeSampleTables(
+        Multimodal.synthMp4StblPayload(id))
+        .getOrElse(fail(s"id=$id must decode"))
+      assert(s.nFrames == n && s.timescale == ts && s.nChunks == m)
+      val wantBytes =
+        if (id % 3 == 0) n * Multimodal.synthStblSampleSize(id, 0)
+        else (0L until n).map(Multimodal.synthStblSampleSize(id, _)).sum
+      assert(s.totalBytes == wantBytes, s"id=$id totalBytes")
+      assert(s.totalDelta == (n / 2) * d1 + (n - n / 2) * d2)
+      assert(s.nKeyframes ==
+        (if (id % 4 == 3) n else (n - 1) / k + 1), s"id=$id keyframes")
+    }
+    // ---- hostile battery over a valid payload, patched in place ----
+    val base = Multimodal.synthMp4StblPayload(1L) // per-sample stsz, co64
+    def find(pat: String): Int = {
+      val b = pat.getBytes("US-ASCII")
+      val i = base.indices.indexWhere(i =>
+        i + b.length <= base.length &&
+          b.indices.forall(j => base(i + j) == b(j)))
+      assert(i > 0, s"fixture must contain $pat"); i
+    }
+    def patched(at: Int, v: Array[Byte]): Array[Byte] = {
+      val c = base.clone()
+      v.indices.foreach(j => c(at + j) = v(j)); c
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    // truncated payload: cut inside the stsz per-sample table
+    val stszAt = find("stsz")
+    assert(VideoCodec.decodeSampleTables(
+      java.util.Arrays.copyOf(base, stszAt + 24)).isEmpty,
+      "truncated stsz table must classify undecodable")
+    // count overflow: stsz sample_count = 0xFFFFFFFF (per-factor cap
+    // must reject BEFORE any count*width product)
+    assert(VideoCodec.decodeSampleTables(
+      patched(stszAt + 12, u32(0xFFFFFFFFL))).isEmpty,
+      "stsz count overflow must classify undecodable")
+    // stts/stsz disagreement: bump the first stts run length (u32 at
+    // payload +8; the value is small, so the low two bytes carry it)
+    val sttsAt = find("stts")
+    val origC1 = ((base(sttsAt + 14) & 0xff) << 8) | (base(sttsAt + 15) & 0xff)
+    assert(VideoCodec.decodeSampleTables(
+      patched(sttsAt + 8 + 4, u32(origC1 + 1L))).isEmpty,
+      "stts total != stsz count must classify undecodable")
+    // stts entry-count overflow
+    assert(VideoCodec.decodeSampleTables(
+      patched(sttsAt + 8, u32(0x7FFFFFFFL))).isEmpty,
+      "stts entry-count overflow must classify undecodable")
+    // zero mdhd timescale
+    val mdhdAt = find("mdhd")
+    assert(VideoCodec.decodeSampleTables(
+      patched(mdhdAt + 4 + 4 + 8, u32(0L))).isEmpty,
+      "zero timescale must classify undecodable")
+    // stss count overflow
+    val stssAt = find("stss") // id=1: k=2, stss present
+    assert(VideoCodec.decodeSampleTables(
+      patched(stssAt + 8, u32(0x40000000L))).isEmpty,
+      "stss count overflow must classify undecodable")
+    // the UNPATCHED base still decodes (the battery patched copies)
+    assert(VideoCodec.decodeSampleTables(base).isDefined)
+  }
+
+  test("MediaHeader surfaces sample-table signals for MP4s that carry " +
+      "them, leaves them null for table-less MP4s and other formats") {
+    import graft.functions.MediaHeader
+    val rows = Seq(
+      Multimodal.synthMp4StblPayload(2L), // has stbl
+      Multimodal.synthMp4Payload(2L), // header-only mp4 (no stbl)
+      Multimodal.synthWavPayload(2L))
+      .toDF("media")
+      .select(MediaHeader.mediaHeader($"media").as("h"))
+      .select($"h.kind", $"h.n_frames", $"h.bitrate_bps",
+        $"h.keyframe_density_x1000", $"h.width")
+      .collect()
+    val withTables = rows(0)
+    val (ts, n, d1, d2, k, _) = Multimodal.synthStblParams(2L)
+    val s = Multimodal.VideoCodec.decodeSampleTables(
+      Multimodal.synthMp4StblPayload(2L)).get
+    val mediaMs = s.totalDelta * 1000L / ts
+    assert(withTables.getString(0) == "mp4")
+    assert(withTables.getLong(1) == n)
+    assert(withTables.getLong(2) == s.totalBytes * 8000L / mediaMs)
+    assert(withTables.getLong(3) == s.nKeyframes * 1000L / n)
+    assert(withTables.getInt(4) == 320, "header dims must still decode")
+    val headerOnly = rows(1)
+    assert(headerOnly.getString(0) == "mp4" && headerOnly.isNullAt(1) &&
+      headerOnly.isNullAt(2) && headerOnly.isNullAt(3),
+      "a table-less mp4 keeps its header decode, without stbl signals")
+    val wav = rows(2)
+    assert(wav.getString(0) == "wav" && wav.isNullAt(1))
+  }
+
+  test("lmScore: exact backoff arithmetic on constructed docs, and the " +
+      "score is monotone in the n-gram hit count") {
+    val lm = graft.Queries.d24Lm.toDF("gram", "logp_x1e6")
+    def score(docs: (Long, String)*): Map[Long, (Long, Long, Long)] =
+      TextAnalysis.lmScore(docs.toDF("doc_id", "text"), lm)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // exact values: first token scores unigram WITHOUT penalty;
+    // bigram hit beats penalized unigram beats OOV floor
+    val got = score(
+      1L -> "table", // unigram only: -1,200,000
+      2L -> "zzz", // OOV floor: -18,000,000
+      3L -> "table table", // uni + bigram: -1,200,000 + -900,000
+      4L -> "table zzz", // uni + OOV
+      5L -> "zzz table") // OOV + penalized unigram (bigram unknown)
+    assert(got(1L) == ((1L, -1200000L, -1200000L)))
+    assert(got(2L) == ((1L, -18000000L, -18000000L)))
+    assert(got(3L) == ((2L, -2100000L, -1050000L)))
+    assert(got(4L) == ((2L, -19200000L, -9600000L)))
+    assert(got(5L) == ((2L, -18000000L + (-1200000L - 2500000L),
+      -21700000L / 2)))
+    // monotonicity: replacing an OOV token with an LM-known one (and a
+    // known unigram with a known bigram continuation) strictly raises
+    // the sum — 0, 1, 2, 3 hits in a 3-token doc
+    val mono = score(
+      10L -> "zza zzb zzc", // 0 hits
+      11L -> "table zzb zzc", // 1 unigram hit
+      12L -> "table table zzc", // + bigram hit
+      13L -> "table table table") // all known
+    val sums = (10L to 13L).map(mono(_)._2)
+    assert(sums == sums.sorted && sums.distinct == sums,
+      s"sum log-prob must be strictly monotone in hit count: $sums")
   }
 
   test("ivfAssignExpr round-before-argmax: a constructed near-tie is " +

@@ -1943,6 +1943,96 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     all.unpersist()
   }
 
+  test("multimodal FEATURE stage e2e (opt-in): the cycle publishes real " +
+      "checksum/feature/thumbnail columns for pixel/sample-decodable " +
+      "blobs, null-flags lossy-codec blobs without re-routing them, and " +
+      "the flags off leave the schema untouched") {
+    import graft.ops.Multimodal
+    val inputPath = s"$scratch/mediafeat_in"
+    val sinkRoot = s"$scratch/mediafeat_sinks"
+    val withMedia = Synth.turns(spark, seed, 30L).map { t =>
+      val media: Array[Byte] = (t.turn_idx % 4) match {
+        case 0 => Multimodal.synthPngPayload(t.turn_idx.toLong)
+        case 1 => Multimodal.synthWavPayload(t.turn_idx.toLong)
+        case 2 => Multimodal.synthMp4Payload(t.turn_idx.toLong)
+        case _ => null
+      }
+      (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, media)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "media")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val nIn = withMedia.count()
+    withMedia.repartition($"day").write.partitionBy("day")
+      .parquet(inputPath)
+
+    val cfg = PipelineConfig(inputPath, sinkRoot, chunkSize = 64,
+      mediaCol = "media", mediaFeatures = true, mediaThumbSide = 4)
+    val r1 = Main.runCycle(spark, cfg, farFuture)
+    assert(r1.rowsProcessed == nIn)
+    val all = Route.sinkNames.map(s =>
+        Sinks.readSink(spark, sinkRoot, s).withColumn("sinkName", lit(s)))
+      .reduce(_.unionByName(_, allowMissingColumns = true)).cache()
+    assert(all.count() == nIn, "routing stays a total partition")
+
+    // (a) PNGs: checksum == CRC32 of the DECODED samples, thumbnail ==
+    // resizeNearest over the same decode — recomputed here directly
+    // from the fixture payload, row by row
+    val png = all.filter($"turn_idx" % 4 === 0 && $"media".isNotNull)
+      .select($"turn_idx", $"media_checksum", $"media_feat",
+        $"media_thumb").collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      val px = Multimodal.PixelCodec
+        .decodePng(Multimodal.synthPngPayload(r.getInt(0).toLong)).get
+      val crc = new java.util.zip.CRC32()
+      crc.update(px.data)
+      assert(r.getLong(1) == crc.getValue, s"turn ${r.getInt(0)} checksum")
+      assert(r.getSeq[Float](2).size == 16)
+      assert(r.getAs[Array[Byte]](3).toSeq ==
+        Multimodal.resizeNearest(px, 4).toSeq, "thumbnail bytes")
+    }
+    // (b) PCM wavs: feature vector present iff the samples decode
+    // (whole frames); checksum matches the sample CRC
+    val wav = all.filter($"turn_idx" % 4 === 1 && $"media".isNotNull)
+      .select($"turn_idx", $"media_checksum", $"media_feat",
+        $"media_thumb").collect()
+    assert(wav.nonEmpty)
+    wav.foreach { r =>
+      Multimodal.PcmCodec.decodePcm16(
+        Multimodal.synthWavPayload(r.getInt(0).toLong)) match {
+        case Some((ch, rate, samples)) =>
+          val (ck, _) = Multimodal.pcmFeatures(ch, rate, samples, 16)
+          assert(!r.isNullAt(1) && r.getLong(1) == ck,
+            s"turn ${r.getInt(0)} pcm checksum")
+        case None => assert(r.isNullAt(2),
+          s"turn ${r.getInt(0)}: undecodable samples must null-flag")
+      }
+      assert(r.isNullAt(3), "wavs have no thumbnail")
+    }
+    // (c) mp4s: null-flagged features but header metadata intact and
+    // the row still in a content sink (never dropped or re-routed)
+    val mp4 = all.filter($"turn_idx" % 4 === 2 && $"media".isNotNull)
+    assert(mp4.count() > 0)
+    assert(mp4.filter($"media_feat".isNotNull ||
+      $"media_thumb".isNotNull).count() == 0,
+      "lossy-codec blobs must null-flag, never fabricate features")
+    assert(mp4.filter(element_at($"meta", "media_kind") =!= "mp4")
+      .count() == 0)
+    assert(mp4.filter($"sinkName" === "deadletter" && $"parse_ok")
+      .count() == 0, "null features must not dead-letter a good row")
+    all.unpersist()
+
+    // (d) flags OFF: no feature columns appear anywhere in the schema
+    val offRoot = s"$scratch/mediafeat_off_sinks"
+    Main.runCycle(spark,
+      cfg.copy(sinkRoot = offRoot, mediaFeatures = false,
+        mediaThumbSide = 0), farFuture)
+    val offCols = Sinks.readSink(spark, offRoot, "assistant").columns
+    assert(!offCols.contains("media_feat") &&
+      !offCols.contains("media_checksum") &&
+      !offCols.contains("media_thumb"),
+      "feature columns are strictly opt-in")
+  }
+
   private def write2(dest: String,
       schema: org.apache.spark.sql.types.StructType,
       rows: org.apache.spark.sql.Row*): Unit =

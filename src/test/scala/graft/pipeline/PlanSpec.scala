@@ -159,6 +159,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must never shuffle/replicate on its own size:\n$plan")
   }
 
+  test("d24 LM scoring: both gram lookups are BROADCAST hash joins — " +
+      "the exploded corpus is never shuffled on its own size") {
+    val docs = Seq((1L, "the table join batch zzz"),
+      (2L, "a a value table")).toDF("doc_id", "text")
+    val lm = graft.Queries.d24Lm.toDF("gram", "logp_x1e6")
+    val plan = physical(graft.ops.TextAnalysis.lmScore(docs, lm))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LM table must broadcast, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "the token stream must never shuffle for the LM lookups")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cross-cycle dedup re-route joins by fingerprint key — no " +
       "cartesian/nested-loop even when the seen-set outgrows broadcast") {
     // the seen store can be years of published fps: with stats above

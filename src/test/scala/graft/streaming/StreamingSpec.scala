@@ -594,18 +594,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a late 1.0 header must not regress the carried 2.0")
   }
 
-  test("streaming media stage: sink routing and decoded metadata match " +
-      "the batch stage row-for-row across micro-batch boundaries; " +
-      "blob-less rows untouched") {
+  test("streaming media stage: sink routing, decoded metadata AND " +
+      "opt-in feature/thumbnail columns match the batch stage " +
+      "row-for-row across micro-batch boundaries; blob-less rows " +
+      "untouched") {
     import graft.ops.Multimodal
     val input = s"$scratch/media_in"
     val sinkRoot = s"$scratch/media_sinks"
     val ckpt = s"$scratch/media_ckpt"
     // the batch e2e's mixed-media fixture shape: image / wav / mp4 /
-    // garbage / no blob, cycling on turn_idx
+    // garbage / no blob, cycling on turn_idx. The image slot uses the
+    // PIXEL-decodable PNG fixture so the opt-in feature stage has real
+    // content to extract (synthImagePayload is header-only).
     val withMedia = Synth.turns(spark, 91L, 30L).map { t =>
       val media: Array[Byte] = (t.turn_idx % 5) match {
-        case 0 => Multimodal.synthImagePayload(t.turn_idx.toLong)
+        case 0 => Multimodal.synthPngPayload(t.turn_idx.toLong)
         case 1 => Multimodal.synthWavPayload(t.turn_idx.toLong)
         case 2 => Multimodal.synthMp4Payload(t.turn_idx.toLong)
         case 3 => Array[Byte](9, 9, 9, 9) // undecodable garbage
@@ -620,18 +623,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // small trigger => conversations span micro-batches, so the media
     // stage runs under carry joins and the seam-free grok codec
     val q = Streaming.runForeachBatch(spark, input, sinkRoot, ckpt,
-      maxFilesPerTrigger = 2, mediaCol = "media")
+      maxFilesPerTrigger = 2, mediaCol = "media",
+      mediaFeatures = true, mediaThumbSide = 4)
     q.awaitTermination()
     val out = spark.read.option("basePath", s"$sinkRoot/stream")
       .parquet(s"$sinkRoot/stream").cache()
     assert(out.count() == nIn, "no media row dropped by the stream")
 
     // row-for-row parity with the batch stage on everything the media
-    // stage owns: the (possibly deadletter-overridden) sink and the
-    // merged media metadata
+    // stage owns: the (possibly deadletter-overridden) sink, the
+    // merged media metadata, and the feature/thumbnail columns
     val batchStaged = Main.mediaStage("media",
       Pipeline(withMedia.as[Turn](
-        org.apache.spark.sql.Encoders.product[Turn])))
+        org.apache.spark.sql.Encoders.product[Turn])),
+      features = true, thumbSide = 4)
     def view(df: org.apache.spark.sql.DataFrame) = df.select(
       col("conv_id"), col("turn_idx"), col("sink"),
       element_at(col("meta"), "media_kind").as("k"),
@@ -640,10 +645,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       element_at(col("meta"), "media_channels").as("c"),
       element_at(col("meta"), "media_sample_rate").as("sr"),
       element_at(col("meta"), "media_bits").as("b"),
-      element_at(col("meta"), "media_duration_ms").as("d"))
+      element_at(col("meta"), "media_duration_ms").as("d"),
+      col("media_checksum"), col("media_feat"), col("media_thumb"))
     assert(view(out).exceptAll(view(batchStaged)).isEmpty &&
       view(batchStaged).exceptAll(view(out)).isEmpty,
       "stream and batch media stages must agree row-for-row")
+
+    // feature contract in the stream output: PNG rows carry a real
+    // vector + thumbnail; mp4 rows carry the null flags but KEEP their
+    // header metadata and content routing
+    assert(out.filter(col("turn_idx") % 5 === 0 &&
+      (col("media_feat").isNull || col("media_thumb").isNull))
+      .count() == 0L, "decodable PNGs must carry features + thumbs")
+    assert(out.filter(col("turn_idx") % 5 === 2 &&
+      (col("media_feat").isNotNull || col("media_thumb").isNotNull))
+      .count() == 0L, "lossy-codec blobs null-flag, never fabricate")
 
     // the contracts, directly: garbage blobs never publish to content
     // sinks; blob-less rows carry no media keys
