@@ -1197,6 +1197,82 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("baseline JPEG non-MCU-aligned dims (12x10) crop correctly, and " +
+      "4:2:2 sampling (h=2,v=1) upsamples horizontally") {
+    def buildJpeg(w: Int, h: Int, comps: Seq[Int], bits: String): Array[Byte] = {
+      // comps: per-component HV byte; quant table 0 with q00=8 shared
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int, body: Array[Int]): Unit = {
+        out.write(0xff); out.write(m)
+        val len = body.length + 2
+        out.write(len >> 8); out.write(len & 0xff)
+        body.foreach(out.write)
+      }
+      out.write(0xff); out.write(0xd8)
+      marker(0xdb, Array(0x00, 8) ++ Array.fill(63)(16))
+      marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        comps.size) ++
+        comps.zipWithIndex.flatMap { case (hv, i) => Seq(i + 1, hv, 0) })
+      marker(0xc4, Array(0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0) ++ (0 to 11))
+      marker(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0x00))
+      marker(0xda, Array(comps.size) ++
+        comps.indices.flatMap(i => Seq(i + 1, 0x00)) ++ Seq(0, 63, 0))
+      val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+      padded.grouped(8).foreach { b =>
+        val v = Integer.parseInt(b, 2)
+        out.write(v)
+        if (v == 0xff) out.write(0x00)
+      }
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+    // DC-only block bits under the fixture tables: 4-bit category code
+    // (== category), magnitude bits, then the 1-bit AC EOB "0"
+    def blockBits(diff: Int): String = {
+      val t = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val cat = ("000" + t.toBinaryString).takeRight(4)
+      val mag = if (t == 0) ""
+        else {
+          val v = if (diff >= 0) diff else diff + (1 << t) - 1
+          ("0" * t + v.toBinaryString).takeRight(t)
+        }
+      cat + mag + "0"
+    }
+    // --- 12x10 grayscale: 2x2 MCU grid, cropped; q00=8 -> value=dc+128
+    val dcs = Seq(5, -3, 7, 0) // blocks in raster order
+    val diffs = dcs.zip(0 +: dcs.dropRight(1)).map { case (v, p) => v - p }
+    val gray = Jpeg.decodeBaseline(
+      buildJpeg(12, 10, Seq(0x11), diffs.map(blockBits).mkString))
+      .getOrElse(fail("12x10 gray must decode"))
+    assert((gray.width, gray.height, gray.channels) == ((12, 10, 1)))
+    for (y <- 0 until 10; x <- 0 until 12) {
+      val want = dcs((y / 8) * 2 + (x / 8)) + 128
+      assert((gray.data(y * 12 + x) & 0xff) == want, s"($x,$y)")
+    }
+    // --- 16x8 color 4:2:2 (luma h=2,v=1): one MCU = 2 Y blocks + Cb + Cr
+    val (y0, y1, cbDc, crDc) = (6, -4, 3, -5)
+    val bits422 = blockBits(y0) + blockBits(y1 - y0) +
+      blockBits(cbDc) + blockBits(crDc)
+    val c422 = Jpeg.decodeBaseline(
+      buildJpeg(16, 8, Seq(0x21, 0x11, 0x11), bits422))
+      .getOrElse(fail("4:2:2 must decode"))
+    assert((c422.width, c422.height, c422.channels) == ((16, 8, 3)))
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val yy = (if (x < 8) y0 else y1) + 128
+      val (cb, cr) = (cbDc + 128 - 128, crDc + 128 - 128)
+      val o = (y * 16 + x) * 3
+      assert((c422.data(o) & 0xff) == cl(yy + 1.402 * cr), s"R($x,$y)")
+      assert((c422.data(o + 1) & 0xff) ==
+        cl(yy - 0.344136 * cb - 0.714136 * cr), s"G($x,$y)")
+      assert((c422.data(o + 2) & 0xff) == cl(yy + 1.772 * cb), s"B($x,$y)")
+    }
+  }
+
   test("JPEG features are REAL in both feature dispatches (checksum == " +
       "CRC32 of the decoded samples), and m08's own fixtures decode " +
       "through MediaHeader as jpeg headers") {
