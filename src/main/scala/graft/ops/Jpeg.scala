@@ -343,9 +343,11 @@ object Jpeg {
           var bx = 0
           while (bx < cm.h) {
             java.util.Arrays.fill(coef, 0)
-            // DC
+            // DC — category is at most 11 for 8-bit precision
+            // (T.81 F.1.2.1.1); a bigger declared category is a
+            // corrupt stream, not a bigger number
             val t = br.decode(dcTabs(cm.td))
-            if (t < 0 || t > 15) return None
+            if (t < 0 || t > 11) return None
             val diffBits = br.receive(t)
             if (diffBits < 0) return None
             pred(c) += extend(diffBits, t)
@@ -362,6 +364,7 @@ object Jpeg {
                 if (r == 15) k += 16 // ZRL
                 else eob = true // EOB
               } else {
+                if (s > 10) return None // 8-bit AC size cap (F.1.2.2.1)
                 k += r
                 if (k > 63) return None
                 val v = br.receive(s)
