@@ -148,15 +148,21 @@ object Calibration {
   // so it sees exactly the shared-resource pressure the scaling
   // bench's multi-core levels are exposed to.
 
-  val MemThreads = 8
+  val MemThreads = 8 // buffer-pool size == the largest probe level
   val MemWords: Int = 4 << 20 // 4M longs = 32 MiB per thread
-  val MemPasses = 96 // ~24 GiB of total reads per sample (~0.4 s)
+  val MemPasses = 96 // ~24 GiB of total reads per 8-thread sample
 
-  /** Committed uncontended reference seconds for one [[sampleMem]] on
-    * the bench host (see BENCH.md "calibration guard"). Override with
-    * SPARK_GRAFT_MEM_REF when re-baselining.
+  /** Committed uncontended reference seconds for one [[sampleMem]] at
+    * each PROBE PARALLELISM (see BENCH.md "calibration guard"). The
+    * probe runs at the bench level's own thread count: an 8-thread
+    * streaming probe saturates the memory system and over-flags
+    * windows whose pressure barely touches a 2-core pipeline level
+    * (observed round 8: a +49% 8-thread probe window produced an
+    * IN-BAND 2-core reading) — probing at the level's parallelism
+    * measures the pressure that level actually experiences. Override
+    * with SPARK_GRAFT_MEM_REF_<threads> when re-baselining.
     */
-  val MemRef: Double = 0.262
+  val MemRefByThreads: Map[Int, Double] = Map(2 -> 0.190, 8 -> 0.262)
 
   /** Bandwidth-probe tolerance — wider than [[Tol]]: DRAM streaming is
     * intrinsically noisier than a register loop (prefetcher state,
@@ -164,10 +170,17 @@ object Calibration {
     */
   val MemTol: Double = 0.18
 
-  def memRef: Double =
-    sys.env.get("SPARK_GRAFT_MEM_REF").map(_.toDouble).getOrElse(MemRef)
+  def memRef(threads: Int): Double =
+    sys.env.get(s"SPARK_GRAFT_MEM_REF_$threads").map(_.toDouble)
+      .orElse(MemRefByThreads.get(threads))
+      .getOrElse(MemRefByThreads(8) * threads / 8.0)
   def memTol: Double =
     sys.env.get("SPARK_GRAFT_MEM_TOL").map(_.toDouble).getOrElse(MemTol)
+
+  /** Probe parallelism for a bench level: the level's core count,
+    * capped at the buffer pool size.
+    */
+  def memThreadsFor(cores: Int): Int = math.min(cores, MemThreads)
 
   private lazy val memBufs: Array[Array[Long]] =
     Array.tabulate(MemThreads) { t =>
@@ -182,13 +195,14 @@ object Calibration {
       a
     }
 
-  /** One timed probe: wall seconds for all [[MemThreads]] threads to
-    * stream their buffers [[MemPasses]] times.
+  /** One timed probe: wall seconds for `nThreads` threads to stream
+    * their buffers [[MemPasses]] times.
     */
-  def sampleMem(): Double = {
+  def sampleMem(nThreads: Int = MemThreads): Double = {
+    val n = math.min(math.max(1, nThreads), MemThreads)
     val bufs = memBufs
-    val accs = new Array[Long](MemThreads)
-    val threads = (0 until MemThreads).map { t =>
+    val accs = new Array[Long](n)
+    val threads = (0 until n).map { t =>
       new Thread(() => {
         var acc = 0L
         var p = 0
@@ -209,9 +223,9 @@ object Calibration {
     sec
   }
 
-  def measureMem(k: Int = 3): Double = {
-    if (!memWarmed) { sampleMem(); sampleMem(); memWarmed = true }
-    val xs = (1 to k).map(_ => sampleMem()).sorted
+  def measureMem(k: Int = 3, nThreads: Int = MemThreads): Double = {
+    if (!memWarmed) { sampleMem(nThreads); sampleMem(nThreads); memWarmed = true }
+    val xs = (1 to k).map(_ => sampleMem(nThreads)).sorted
     xs(k / 2)
   }
   private var memWarmed = false
@@ -229,22 +243,28 @@ object CalibrationProbe {
   def main(args: Array[String]): Unit = {
     val k = args.lift(0).map(_.toInt).getOrElse(8)
     Calibration.sample(); Calibration.sample() // JIT warmup, discarded
-    Calibration.sampleMem(); Calibration.sampleMem()
+    Calibration.sampleMem(2); Calibration.sampleMem(8)
     val xs = (1 to k).map { i =>
       val s = Calibration.sample()
-      val m = Calibration.sampleMem()
-      System.err.println(f"[cal] sample $i: cpu=$s%.4f s mem=$m%.4f s")
-      (s, m)
+      val m2 = Calibration.sampleMem(2)
+      val m8 = Calibration.sampleMem(8)
+      System.err.println(
+        f"[cal] sample $i: cpu=$s%.4f s mem2=$m2%.4f s mem8=$m8%.4f s")
+      (s, m2, m8)
     }
     val med = xs.map(_._1).sorted.apply(k / 2)
-    val memMed = xs.map(_._2).sorted.apply(k / 2)
-    val (ref, mref) = (Calibration.ref, Calibration.memRef)
-    val (tol, mtol) = (Calibration.tol, Calibration.memTol)
-    val dev = math.max(med / ref - 1.0, memMed / mref - 1.0)
+    val mem2Med = xs.map(_._2).sorted.apply(k / 2)
+    val mem8Med = xs.map(_._3).sorted.apply(k / 2)
+    val (ref, tol, mtol) =
+      (Calibration.ref, Calibration.tol, Calibration.memTol)
+    val (mref2, mref8) = (Calibration.memRef(2), Calibration.memRef(8))
+    val ok = med / ref - 1.0 <= tol &&
+      mem2Med / mref2 - 1.0 <= mtol && mem8Med / mref8 - 1.0 <= mtol
     println(f"""{"cal_median":$med%.4f,"cal_min":${xs.map(_._1).min}%.4f,""" +
-      f""""mem_median":$memMed%.4f,"mem_min":${xs.map(_._2).min}%.4f,""" +
-      f""""ref":$ref,"mem_ref":$mref,"dev":$dev%.4f,""" +
-      f""""ok":${dev <= tol}}""")
+      f""""mem2_median":$mem2Med%.4f,"mem2_min":${xs.map(_._2).min}%.4f,""" +
+      f""""mem8_median":$mem8Med%.4f,"mem8_min":${xs.map(_._3).min}%.4f,""" +
+      f""""ref":$ref,"mem_ref2":$mref2,"mem_ref8":$mref8,""" +
+      f""""ok":$ok}""")
   }
 }
 
@@ -303,8 +323,13 @@ object ScalingBench {
     val nConvs = args.lift(0).map(_.toLong).getOrElse(960000L)
     val n = args.lift(1).map(_.toInt).getOrElse(2)
     val n4 = args.lift(2).map(_.toInt).getOrElse(4 * n)
-    val (ref, mref) = (Calibration.ref, Calibration.memRef)
+    val ref = Calibration.ref
     val (tol, mtol) = (Calibration.tol, Calibration.memTol)
+    // the bandwidth probe runs at each level's own parallelism (see
+    // Calibration.MemRefByThreads), so it measures the pressure that
+    // level actually experiences
+    def mrefFor(cores: Int): Double =
+      Calibration.memRef(Calibration.memThreadsFor(cores))
 
     // generate the shared input once (any session works for this)
     val gen = BenchPipeline.session(n4)
@@ -322,12 +347,13 @@ object ScalingBench {
     for (pass <- 1 to 2; cores <- Seq(n, n4)) {
       val spark = BenchPipeline.session(cores)
       BenchPipeline.timePipeline(spark, inputPath) // warmup (JIT + codegen)
+      val mThreads = Calibration.memThreadsFor(cores)
       val runs = (1 to 3).map { _ =>
         val cb = Calibration.measure()
-        val mb = Calibration.measureMem()
+        val mb = Calibration.measureMem(nThreads = mThreads)
         val (r, s) = BenchPipeline.timePipeline(spark, inputPath)
         val ca = Calibration.measure()
-        val ma = Calibration.measureMem()
+        val ma = Calibration.measureMem(nThreads = mThreads)
         rows = r
         Timed(s, cb, ca, mb, ma)
       }
@@ -339,18 +365,21 @@ object ScalingBench {
         f"sec=${b.sec}%.3f tput=${rows / b.sec}%.0f " +
         f"cal=${b.calBefore}%.3f/${b.calAfter}%.3f " +
         f"mem=${b.memBefore}%.3f/${b.memAfter}%.3f " +
-        f"dev=${b.dev(ref, mref) * 100}%.1f%% " +
-        f"ok=${b.ok(ref, mref, tol, mtol)}")
+        f"dev=${b.dev(ref, mrefFor(cores)) * 100}%.1f%% " +
+        f"ok=${b.ok(ref, mrefFor(cores), tol, mtol)}")
     }
     // per level: the best RAW pass (the established discipline) plus
     // its calibration annotation and normalized reading
     def levelJson(cores: Int): (Timed, String) = {
       val best = runsByLevel(cores).minBy(_.sec)
+      val mref = mrefFor(cores)
       val (t, tn) = (rows / best.sec, rows / best.secNorm(ref, mref))
       (best,
         f"""{"cores":$cores,"sec":${best.sec},"turns_per_sec":$t,""" +
         f""""cal_before":${best.calBefore},"cal_after":${best.calAfter},""" +
         f""""mem_before":${best.memBefore},"mem_after":${best.memAfter},""" +
+        f""""mem_probe_threads":${Calibration.memThreadsFor(cores)},""" +
+        f""""mem_ref":$mref,""" +
         f""""cal_dev":${best.cpuDev(ref)},"mem_dev":${best.memDev(mref)},""" +
         f""""cal_ok":${best.ok(ref, mref, tol, mtol)},""" +
         f""""slowdown":${best.slowdown(ref, mref)},""" +
@@ -360,13 +389,13 @@ object ScalingBench {
     val (b2, j2) = levelJson(n4)
     val eff = ((rows / b2.sec) / (rows / b1.sec)) / (n4.toDouble / n)
     val effNorm =
-      ((rows / b2.secNorm(ref, mref)) / (rows / b1.secNorm(ref, mref))) /
-        (n4.toDouble / n)
-    val calOk = b1.ok(ref, mref, tol, mtol) &&
-      b2.ok(ref, mref, tol, mtol)
+      ((rows / b2.secNorm(ref, mrefFor(n4))) /
+        (rows / b1.secNorm(ref, mrefFor(n)))) / (n4.toDouble / n)
+    val calOk = b1.ok(ref, mrefFor(n), tol, mtol) &&
+      b2.ok(ref, mrefFor(n4), tol, mtol)
     val json = s"""{"metric":"scaling_efficiency","value":$eff,""" +
       s""""value_norm":$effNorm,"rows":$rows,"n":$j1,"n4":$j2,""" +
-      s""""calibration":{"ref":$ref,"mem_ref":$mref,"tol":$tol,"mem_tol":$mtol,"ok":$calOk}}"""
+      s""""calibration":{"ref":$ref,"tol":$tol,"mem_tol":$mtol,"ok":$calOk}}"""
     println(json)
     if (!calOk) System.err.println(
       "[scaling] CONTENDED WINDOW (calibration deviation over tolerance " +

@@ -409,7 +409,7 @@ object Main {
             .withColumn("_media_featstruct",
               graft.functions.MediaFeatureExprs.mediaFeatures(
                 col(mediaCol)))
-            .select(df.columns.map(col) :+
+            .select(df.columns.toIndexedSeq.map(col) :+
               col("_media_featstruct.checksum").as("media_checksum") :+
               col("_media_featstruct.feat").as("media_feat"): _*)
         }
