@@ -371,8 +371,17 @@ object ScalingBench {
     // per level: the best RAW pass (the established discipline) plus
     // its calibration annotation and normalized reading
     def levelJson(cores: Int): (Timed, String) = {
-      val best = runsByLevel(cores).minBy(_.sec)
       val mref = mrefFor(cores)
+      // prefer the best CALIBRATION-CLEAN pass: the guard certifies
+      // the chosen pass, and when a clean pass exists, choosing a
+      // marginally faster flagged one sacrifices certification for
+      // noise (observed: a clean 310,246 passed over for a flagged
+      // 311,285 — 0.3% apart). Fall back to best raw only when no
+      // pass was clean, in which case the run is not promotable
+      // anyway and raw-best is the honest summary.
+      val all = runsByLevel(cores)
+      val clean = all.filter(_.ok(ref, mref, tol, mtol))
+      val best = (if (clean.nonEmpty) clean else all).minBy(_.sec)
       val (t, tn) = (rows / best.sec, rows / best.secNorm(ref, mref))
       (best,
         f"""{"cores":$cores,"sec":${best.sec},"turns_per_sec":$t,""" +
