@@ -6,6 +6,8 @@ set -u
 TAG="${1:?run tag, e.g. runC}"
 MAX="${2:-40}"
 SLEEP="${3:-90}"
+N="${4:-2}"
+N4="${5:-8}"
 cd /root/repo
 for i in $(seq 1 "$MAX"); do
   OUT=$(java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
@@ -14,7 +16,7 @@ for i in $(seq 1 "$MAX"); do
   if echo "$OUT" | grep -q '"ok":true'; then
     echo "[launcher] quiet window detected - launching ScalingBench $TAG"
     SPARK_DRIVER_MEM=48g sbt -batch \
-      "runMain graft.ScalingBench 960000 2 8 SCALING_r08_$TAG.json" \
+      "runMain graft.ScalingBench 960000 $N $N4 SCALING_r08_$TAG.json" \
       > "target/scaling_r08_$TAG.log" 2>&1
     echo "[launcher] run $TAG complete:"
     cat "SCALING_r08_$TAG.json" 2>/dev/null
