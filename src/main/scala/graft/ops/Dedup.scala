@@ -43,16 +43,31 @@ object Dedup {
 
   /** Word n-gram shingles as an array column (distinct, sorted — set
     * semantics for Jaccard).
+    *
+    * PERF NOTE (r9): pass a MATERIALIZED token-array column as `toks`
+    * wherever possible ([[tokensOf]] projected in a prior select — the
+    * chunkPlan discipline). The lambda body references `toks` once per
+    * ELEMENT (`size`/`slice`), so handing it the raw
+    * `split(trim(lower(text)))` expression re-runs the regex split per
+    * token — O(tokens²) splits per document (measured 10x on the
+    * shingle stage at sf0.1).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    array_sort(array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i <= size(toks) - n,
-            concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
-        x => x.isNotNull)))
-  }
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    array_sort(array_distinct(shingleArr(toks, n)))
+
+  /** The raw (non-distinct) shingle array from a token array column. */
+  private def shingleArr(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+      x => x.isNotNull)
+
+  /** The ONE tokenization every shingle consumer shares. */
+  def tokensOf(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokensOf(text), n)
 
   /** Benchmark-contamination screen: for every corpus document, the
     * number of its n-gram shingles that also appear anywhere in a
@@ -77,8 +92,12 @@ object Dedup {
     def h(s: Column): Column = substring(md5(s), 1, 16)
     // distinct AFTER hashing too: two distinct bench shingles colliding
     // to one prefix must not double-match a corpus row
+    // token arrays materialized before the shingle lambda on both sides
+    // (see [[shinglesOfTokens]] — avoids the per-element re-split)
     val benchSh = bench
-      .select(explode(shingles(col(textCol), shingleN)).as("s")).distinct()
+      .select(tokensOf(col(textCol)).as("_toks"))
+      .select(explode(shinglesOfTokens(col("_toks"), shingleN)).as("s"))
+      .distinct()
       .select(h(col("s")).as("sh_h")).distinct()
       .withColumn("_hit", lit(1))
     // ONE pass over the corpus: shingle once, explode_outer (docs with
@@ -86,8 +105,9 @@ object Dedup {
     // (benchSh is distinct, so each shingle matches at most once), then
     // a single aggregate yields both counts.
     corpus
+      .select(col(idCol), tokensOf(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode_outer(shingles(col(textCol), shingleN)).as("s"))
+        explode_outer(shinglesOfTokens(col("_toks"), shingleN)).as("s"))
       .select(col(idCol), h(col("s")).as("sh_h"))
       .join(broadcast(benchSh), Seq("sh_h"), "left")
       .groupBy(col(idCol))
@@ -103,14 +123,16 @@ object Dedup {
     * Jaccard's set semantics actually matter).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    val all = filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
-      x => x.isNotNull)
-    df.select(col(idCol), explode(all).as("shingle"))
-  }
+      n: Int): DataFrame =
+    // token array materialized ONCE per row, then shingled in a second
+    // projection: the shingle lambda reads `size`/`slice` of its token
+    // array per element, and handing it the split() EXPRESSION instead
+    // of a column re-runs the regex split per token — O(tokens²) work
+    // that measured ~10x on this stage (CollapseProject keeps the
+    // split un-inlined because it is non-cheap and multiply referenced
+    // — the chunkPlan discipline).
+    df.select(col(idCol), tokensOf(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shingleArr(col("_toks"), n)).as("shingle"))
 
   /** One MinHash value from a shared digest: hex slice `i` (4 chars =
     * 16 bits) of md5(shingle). All `k` hash functions are slices of ONE
@@ -532,14 +554,21 @@ object Dedup {
     val pairs = lshCandidatePairs(eligible, idCol, maxBucket)
     val newIds = newBands.select(col(idCol)).distinct()
     // keep pairs with a new member on EITHER side (old-old pairs inside
-    // a touched bucket already exist in the prior state's pair set)
-    pairs.join(newIds.select(col(idCol).as("id_a")), Seq("id_a"),
-        "left_semi")
-      .unionByName(
-        pairs.join(newIds.select(col(idCol).as("id_b")), Seq("id_b"),
-            "left_semi")
-          .select(col("id_a"), col("id_b")))
-      .distinct()
+    // a touched bucket already exist in the prior state's pair set).
+    // Two marker LEFT joins + one OR-filter, NOT two semi-joins
+    // unioned: the semi-join form evaluates the whole bucket-expansion
+    // subtree (bands of both sides included) once per branch — r9
+    // measured the double derivation as ~35% of d21. `pairs` is
+    // already distinct, so the filter needs no trailing distinct; a
+    // null marker (no match) ORs to null and the filter drops it,
+    // exactly the semi-join membership semantics.
+    pairs
+      .join(newIds.select(col(idCol).as("id_a"), lit(true).as("_na")),
+        Seq("id_a"), "left")
+      .join(newIds.select(col(idCol).as("id_b"), lit(true).as("_nb")),
+        Seq("id_b"), "left")
+      .filter(col("_na") || col("_nb"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Resolve clusters from a pair set and PERSIST the labels under
@@ -630,7 +659,9 @@ object Dedup {
     */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    val withSh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val withSh = df
+      .select(col(idCol), tokensOf(col(textCol)).as("_toks"))
+      .select(col(idCol), shinglesOfTokens(col("_toks"), shingleN).as("sh"))
     pairs
       .join(withSh.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
