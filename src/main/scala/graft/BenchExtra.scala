@@ -97,6 +97,16 @@ object BenchExtra {
           "doc_id", 8, 2), "doc_id")
         noop(Dedup.resolveClusters(pairs))
       }
+      locally {
+        val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(
+          Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8),
+          "doc_id", 8, 2), "doc_id")
+        val res = Dedup.resolveClustersIter(pairs)
+        val n = res.labels.count()
+        System.err.println(s"[stage] resolve_iters=${res.iterations} " +
+          s"converged=${res.converged} labels=$n")
+        res.release()
+      }
     } else {
       val names =
         if (sel == "all") SparkEntry.queries.keys.toSeq.sorted

@@ -24,6 +24,32 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Table reader with scale-adaptive parallelization (guide §2.5
+    * "input skew — one small/unsplittable file"): the driver's test
+    * tables are single parquet files below maxPartitionBytes, so a
+    * compute-heavy narrow chain above a bare read runs on ONE core of
+    * the local[N] session. `Dedup.parallelized` round-robins to the
+    * default parallelism only when the scan carries fewer partitions
+    * than the cluster — a no-op at production scale (any multi-GB
+    * table already splits into more partitions than cores), so nothing
+    * here is tuned to the bench topology. Deterministic filters still
+    * push through the Repartition into the scan (PushDownPredicate).
+    *
+    * Applied SELECTIVELY (r9 A/B per query): only where the per-row
+    * work above the scan dwarfs the small round-robin shuffle —
+    * per-word native BPE (d14) and the iterative embedding math
+    * (e02/e08/e10/e11, where every kmeans/assignment pass re-scans the
+    * single-partition table). A blanket application measured NET
+    * NEGATIVE on cheap scans (q01 0.31->0.96 s, f01 0.30->1.07,
+    * d24 0.30->1.13): for scan+aggregate queries the shuffle+sort of
+    * the payload costs more than the single-core narrow work it
+    * parallelizes. The shingle/minhash/langid/contamination operators
+    * parallelize INSIDE the operator instead (Dedup.minhashSignatures,
+    * contaminationScreen, langIdColumns).
+    */
+  private def tp(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.Dedup.parallelized(t(spark, dir, name))
+
   // ---------------------------------------------------------------- //
   // Pipeline-semantics queries over `events` (the log-stream analog)  //
   // ---------------------------------------------------------------- //
@@ -1217,7 +1243,7 @@ object Queries {
   val e02Planes = 4
 
   def e02(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
+    val e = tp(spark, dir, "embeddings").filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"))
     Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
         dims = lshDims, threshold = 0.35, nPlanes = e02Planes,
@@ -1542,7 +1568,7 @@ object Queries {
     */
   def e08(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
+    val emb = tp(spark, dir, "embeddings")
     val cents = Similarity.kmeans(emb, "vec_id", "embedding",
       k = 8, iters = 2, dims = lshDims, roundDigits = 6)
     cents.flatMap { case (cid, v) =>
@@ -1701,7 +1727,7 @@ object Queries {
     * over exactly the new batch.
     */
   def e10(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = tp(spark, dir, "embeddings")
     val old = emb.filter(col("vec_id") < 400)
     val fresh = emb.filter(col("vec_id") >= 400)
     val cents = Similarity.ivfCentroids(old, "vec_id", "embedding", 8)
@@ -1755,7 +1781,7 @@ object Queries {
   private val e11MinCos = 0.25
 
   def e11(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = tp(spark, dir, "embeddings")
     val old = emb.filter(col("vec_id") < 400)
     val fresh = emb.filter(col("vec_id") >= 400)
     val cents = Similarity.ivfCentroids(old, "vec_id", "embedding", 8)
@@ -1913,7 +1939,7 @@ object Queries {
     * stream in word order, and windows it identically.
     */
   def d14(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.chunkPlan(t(spark, dir, "documents"), window = 32,
+    TextAnalysis.chunkPlan(tp(spark, dir, "documents"), window = 32,
         stride = 24,
         tokensExpr = Some(flatten(transform(
           graft.ops.Bpe.normalizeWords(col("text")),

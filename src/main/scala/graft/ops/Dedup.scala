@@ -66,6 +66,22 @@ object Dedup {
   /** The ONE tokenization every shingle consumer shares. */
   def tokensOf(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Scale-adaptive input parallelization (guide §2.5 "input skew" —
+    * one small/unsplittable file): when the upstream frame carries
+    * fewer partitions than the cluster's parallelism, a compute-heavy
+    * narrow chain above it (tokenize + shingle + md5) runs on a
+    * fraction of the cores. Round-robin repartition to the default
+    * parallelism — derived from the input, not a tuned constant: at
+    * 100 TB a scan already carries far more partitions than cores and
+    * this is a no-op (no shuffle added); it fires exactly when text
+    * bytes are few enough that shuffling them is cheaper than leaving
+    * cores idle.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(tokensOf(text), n)
 
@@ -104,7 +120,7 @@ object Dedup {
     // no shingles keep a row), mark hits via a broadcast LEFT join
     // (benchSh is distinct, so each shingle matches at most once), then
     // a single aggregate yields both counts.
-    corpus
+    parallelized(corpus)
       .select(col(idCol), tokensOf(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode_outer(shinglesOfTokens(col("_toks"), shingleN)).as("s"))
@@ -150,38 +166,54 @@ object Dedup {
       s => substring(md5(s), 1 + 4 * i, 4)))
   }
 
-  /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc,
-    * as ONE grouped aggregate over exploded (id, shingle) rows — the
-    * shingle set is computed once per doc and all k mins come from a
-    * single partial+final hash-agg pass. (The tempting narrow form —
-    * k `array_min(transform(sh, ...))` columns over a projected array —
-    * re-inlines the whole shingling expression into every hash column
-    * after projection collapse: measured 8x slower with k=8.)
+  /** MinHash signatures: `numHashes` columns mh0..mh{k-1} per doc, as
+    * a fully NARROW per-row chain — tokens, shingles and the per-shingle
+    * digest array are each materialized once per row in their own
+    * projection, then each mh_i is an `array_min` over 4-hex-char
+    * slices of the digest array. ZERO exchanges: signatures pipeline
+    * inside WholeStageCodegen straight into the band explode, so a
+    * 100 TB corpus is never shuffled for its signatures at all.
     *
-    * One md5 per shingle, sliced into 4-hex-char (16-bit) minhash
-    * values; the projection materializes the digest ONCE (md5 is
-    * non-cheap, so CollapseProject keeps it out of the 8 agg inputs).
+    * History: rounds 4-8 shipped this as explode + groupBy(id) + 8 min
+    * aggregates, with a note that the narrow form measured 8x SLOWER —
+    * that measurement predates the r9 token-materialization fix: the
+    * old narrow form re-inlined the whole split+shingle expression
+    * into every hash column (and the shingle lambda re-split per
+    * token). With `_digs` a materialized column (non-cheap, referenced
+    * `numHashes` times, so CollapseProject keeps it single-eval — r9
+    * plan-verified: ONE transform(..., md5) per digest group in the
+    * final plan), the narrow form wins: the explode, the partial+final
+    * hash-agg and the Exchange disappear (isolated: 1.26 s -> ~0.7 s
+    * at sf0.1, and every downstream consumer drops one Exchange).
+    *
+    * One md5 digest per 8 slices: digest g of a shingle is
+    * md5(shingle) for g=0 and md5("g|shingle") for g>0 (seed-prefixed,
+    * same scheme the oracle replays); hash i = 4-hex slice i%8 of
+    * digest i/8. String-min of fixed-width hex == numeric min. Rows
+    * with zero shingles (< shingleN tokens) are filtered exactly as
+    * the grouped form dropped them (no exploded rows -> no group).
     * 16-bit values bias the Jaccard estimate by ~|A∪B|/2^16 — noise at
     * document scale — and band signatures (2 slices = 32 bits) stay
     * collision-safe.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
-    // one md5 digest per 8 slices: digest g of a shingle is md5(shingle)
-    // for g=0 and md5("g|shingle") for g>0 (seed-prefixed, same scheme the
-    // oracle can replay); hash i = 4-hex slice i%8 of digest i/8.
     val nDigests = (numHashes + 7) / 8
-    val digests = (0 until nDigests).map { g =>
-      val d = if (g == 0) md5(col("shingle"))
-        else md5(concat(lit(s"$g|"), col("shingle")))
-      d.as(s"_h$g")
+    val digCols = (0 until nDigests).map { g =>
+      val digest: Column => Column =
+        if (g == 0) md5(_) else s => md5(concat(lit(s"$g|"), s))
+      transform(col("_sh"), digest).as(s"_digs$g")
     }
-    val sh = shingleRows(df, idCol, textCol, shingleN)
-      .select(col(idCol) +: digests: _*)
-    val aggs = (0 until numHashes).map { i =>
-      min(substring(col(s"_h${i / 8}"), 1 + 4 * (i % 8), 4)).as(s"mh$i")
+    val mins = (0 until numHashes).map { i =>
+      array_min(transform(col(s"_digs${i / 8}"),
+        d => substring(d, 1 + 4 * (i % 8), 4))).as(s"mh$i")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    parallelized(df)
+      .select(col(idCol), tokensOf(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= shingleN)
+      .select(col(idCol), shingleArr(col("_toks"), shingleN).as("_sh"))
+      .select(col(idCol) +: digCols: _*)
+      .select(col(idCol) +: mins: _*)
   }
 
   /** LSH banding: concat `rowsPerBand` consecutive minhashes into one
@@ -349,23 +381,42 @@ object Dedup {
       // re-deriving the join+agg step, and the next iteration builds
       // on a shallow plan, not on this one's tree
       val stepped = propagationStep(edges, labels).localCheckpoint(true)
-      // pointer jump: label(x) <- label(label(x)). `_next` is always a
-      // node id in x's component with _next(x) <= x, so the lookup
-      // always matches (coalesce is belt-and-braces) and the jumped
-      // value stays a same-component id — reach doubles per round
-      val jumped = stepped.join(
-        stepped.select(col("id").as("_next"), col("_next").as("_jump")),
-        Seq("_next"), "left")
-        .select(col("id"), col("label"),
-          least(col("_next"), coalesce(col("_jump"), col("_next")))
-            .as("_next"))
-      // one change-count covering BOTH steps: `label` is the
-      // iteration-start value, `_next` the post-jump one
-      val changed = jumped.filter(col("_next") < col("label")).count()
-      labels = jumped.select(col("id"), col("_next").as("label"))
-      prevCk.foreach(_.unpersist(blocking = false))
-      prevCk = checkpointRdd(stepped)
+      // convergence is decidable from the STEP alone: if no label
+      // decreased under neighbor-min, every label already equals its
+      // component minimum (otherwise, on a path from a mislabeled node
+      // to its component min, the first edge where the label drops
+      // would have fired a neighbor-min change), so the jump would be
+      // a provable no-op — the final iteration skips it entirely. The
+      // count is a scan of the checkpoint blocks just materialized,
+      // not a recompute.
+      val changed = stepped.filter(col("_next") < col("label")).count()
       converged = changed == 0L
+      if (converged) {
+        // labels unchanged this iteration; stepped is redundant
+        checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
+      } else {
+        // pointer jump: label(x) <- label(label(x)). `_next` is always
+        // a node id in x's component with _next(x) <= x, so the lookup
+        // always matches (coalesce is belt-and-braces) and the jumped
+        // value stays a same-component id — reach doubles per round.
+        // The jumped frame is checkpointed too (r9): pre-r9 it was left
+        // lazy, so the jump self-join ran TWICE per iteration — once
+        // under the change-count and again when the next iteration's
+        // checkpoint re-derived `labels` — and the count paid the join
+        // instead of a cached-block scan.
+        val jumped = stepped.join(
+          stepped.select(col("id").as("_next"), col("_next").as("_jump")),
+          Seq("_next"), "left")
+          .select(col("id"),
+            least(col("_next"), coalesce(col("_jump"), col("_next")))
+              .as("label"))
+          .localCheckpoint(true)
+        labels = jumped
+        // stepped's blocks are superseded as soon as jumped materializes
+        checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
+        prevCk.foreach(_.unpersist(blocking = false))
+        prevCk = checkpointRdd(jumped)
+      }
       iters += 1
     }
     if (!converged)

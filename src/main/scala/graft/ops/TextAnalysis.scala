@@ -104,7 +104,10 @@ object TextAnalysis {
     // full text per row with 5 langs x 3 markers — measured ~4x on
     // d04). Same counts: split WITHOUT trim, exactly as
     // [[wordOccurrences]]; a leading empty token never equals a marker.
-    val withToks = df.withColumn("_lid_toks", split(col(textCol), "\\s+"))
+    // scale-adaptive parallelization of the scoring chain (no-op when
+    // the input already has >= cores partitions — Dedup.parallelized)
+    val withToks = Dedup.parallelized(df)
+      .withColumn("_lid_toks", split(col(textCol), "\\s+"))
     val scored = langMarkers.keys.toSeq.sorted.foldLeft(withToks) { (d, l) =>
       d.withColumn(s"score_$l",
         langMarkers(l).map(w =>
