@@ -319,24 +319,31 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     resolveClustersIter(pairs, maxIters).labels
 
-  /** One min-label propagation step over (edges, labels): neighbor-min
-    * via an EQUI-join + hash-agg, folded back with a left join. Emits
-    * (id, label, _next). Factored out so the physical-plan shape is
-    * pinnable un-checkpointed (PlanSpec) — [[resolveClustersIter]]
-    * applies exactly this, truncated per iteration.
+  /** One min-label propagation step over (edges, labels): ONE equi-join
+    * + ONE hash aggregate. Each node's neighbor labels arrive as
+    * messages (dst's label delivered to src); the node's own label
+    * rides along as a tagged self-message, so a single grouped
+    * aggregate computes both the carried `label` (the self message)
+    * and `_next` = least(label, neighbor-min) — the pre-r9 form folded
+    * the neighbor min back with a second (left) join, one more
+    * join + exchange per iteration for the same result (a node with no
+    * delivered messages keeps its label: the self message is always
+    * present). Emits (id, label, _next). Factored out so the
+    * physical-plan shape is pinnable un-checkpointed (PlanSpec) —
+    * [[resolveClustersIter]] applies exactly this, truncated per
+    * iteration.
     */
   private[graft] def propagationStep(edges: DataFrame,
-      labels: DataFrame): DataFrame = {
-    val nbrMin = edges
+      labels: DataFrame): DataFrame =
+    edges
       .join(labels.select(col("id").as("dst"), col("label").as("_nl")),
         Seq("dst"))
-      .groupBy(col("src").as("id"))
-      .agg(min(col("_nl")).as("_nmin"))
-    labels.join(nbrMin, Seq("id"), "left")
-      .select(col("id"), col("label"),
-        least(col("label"), coalesce(col("_nmin"), col("label")))
-          .as("_next"))
-  }
+      .select(col("src").as("id"), col("_nl"), lit(false).as("_self"))
+      .unionByName(labels.select(col("id"), col("label").as("_nl"),
+        lit(true).as("_self")))
+      .groupBy(col("id"))
+      .agg(max(when(col("_self"), col("_nl"))).as("label"),
+        min(col("_nl")).as("_next"))
 
   /** The checkpointed RDD backing an eager localCheckpoint'ed frame —
     * its plan is a single LogicalRDD leaf. Used to free superseded

@@ -189,12 +189,19 @@ object Parse {
     *  - what=next: a row continues iff the PREVIOUS row belonged (first
     *    row of a conversation always starts) — one chunked lag.
     */
+  /** The ONE interpretation of pattern/negate: does this row "belong
+    * to a multiline event" under `cfg`?
+    */
+  def belongsUnder(cfg: MultilineConfig, textCol: String): Column = {
+    val matches = col(textCol).rlike(cfg.pattern)
+    if (cfg.negate) !matches else matches
+  }
+
   def continuationUnder(df: DataFrame, cfg: MultilineConfig,
       chunkSize: Int = 4096, convCol: String = "conv_id",
       idxCol: String = "turn_idx", textCol: String = "text")
       : (DataFrame, Column) = {
-    val matches = col(textCol).rlike(cfg.pattern)
-    val belongs = if (cfg.negate) !matches else matches
+    val belongs = belongsUnder(cfg, textCol)
     cfg.what match {
       case "previous" => (df, belongs)
       case "next" =>
@@ -213,13 +220,24 @@ object Parse {
     */
   def sessionizeConfigured(df: DataFrame, cfg: MultilineConfig,
       chunkSize: Int = 4096, convCol: String = "conv_id",
-      idxCol: String = "turn_idx", textCol: String = "text"): DataFrame = {
-    val (pre, isCont) = continuationUnder(df, cfg, chunkSize, convCol,
-      idxCol, textCol)
-    PrefixOps.prefixSum(pre, when(isCont, lit(0)).otherwise(lit(1)),
-        "session_id", chunkSize, convCol, idxCol)
-      .drop("_prev_belongs")
-  }
+      idxCol: String = "turn_idx", textCol: String = "text"): DataFrame =
+    cfg.what match {
+      case "next" =>
+        // fused form (r9): lagOne + prefixSum is two fat-row (conv,
+        // chunk) repartitions for one logical scan — the fused
+        // operator ([[PrefixOps.lagGatedPrefixSum]]) computes the
+        // identical record ids in ONE (equivalence pinned in tests
+        // against the composed form). `belongs` is the shared
+        // [[belongsUnder]] interpretation.
+        PrefixOps.lagGatedPrefixSum(df, belongsUnder(cfg, textCol),
+          "session_id", chunkSize, convCol, idxCol)
+      case _ =>
+        val (pre, isCont) = continuationUnder(df, cfg, chunkSize, convCol,
+          idxCol, textCol)
+        PrefixOps.prefixSum(pre, when(isCont, lit(0)).otherwise(lit(1)),
+            "session_id", chunkSize, convCol, idxCol)
+          .drop("_prev_belongs")
+    }
 
   /** P2: JSON codec mode (spec:397-441; fixtures json.log,
     * json_with_message.log). Whole-event JSON decode with top-level

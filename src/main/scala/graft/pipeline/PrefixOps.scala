@@ -201,6 +201,68 @@ object PrefixOps {
       .drop("_val", "_chunk", "_lag", "_rn", "_carry")
   }
 
+  /** Fused lag-gated prefix sum — the `what=next` multiline
+    * sessionizer in ONE chunk decomposition: `outCol` = running count
+    * of record starts where a row starts a record iff the PREVIOUS row
+    * of the conversation did not satisfy `belongs` (the first row of a
+    * conversation always starts). Semantically identical to
+    * [[lagOne]] (belongs) -> [[prefixSum]] (!prev), which costs TWO
+    * (conv, chunk) repartitions of the fat rows plus two summary
+    * windows and two carry joins; at 10^12 turns the second fat-row
+    * shuffle is the dominant avoidable cost of the what=next codec
+    * (guide §2.4: operations keyed the same way share one exchange).
+    *
+    * Mechanics: inside each (conv, chunk) window the in-chunk lag is
+    * exact for every row but the chunk head, whose indicator is
+    * ASSUMED to be 1 (record start). The per-chunk correction is
+    * uniform — if the previous chunk's last row belonged, the head
+    * indicator is actually 0 and every running value in the chunk
+    * shifts down by exactly 1 — so one summary row per (conv, chunk)
+    * (last row's `belongs`, assumed chunk total) suffices: the carry
+    * window derives the correction and the corrected carry-in, and one
+    * SHUFFLE_HASH join folds both back. A first chunk of a
+    * conversation takes no correction (lag of no chunk = does not
+    * belong), exactly the coalesce(prev, false) rule.
+    */
+  def lagGatedPrefixSum(df: DataFrame, belongs: Column, outCol: String,
+      chunkSize: Int = 4096, convCol: String = "conv_id",
+      idxCol: String = "turn_idx"): DataFrame = {
+    val chunked = df
+      .withColumn("_b", belongs)
+      .withColumn("_chunk", (col(idxCol) / lit(chunkSize)).cast("long"))
+    val wIn = Window.partitionBy(col(convCol), col("_chunk"))
+      .orderBy(col(idxCol))
+    val wRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked
+      .withColumn("_lagb", lag(col("_b"), 1).over(wIn))
+      .withColumn("_rn", row_number().over(wIn))
+      // chunk-head rows assume a record start; corrected via the join
+      .withColumn("_ind",
+        when(col("_rn") === 1, lit(1L))
+          .otherwise(when(coalesce(col("_lagb"), lit(false)), lit(0L))
+            .otherwise(lit(1L))))
+      .withColumn("_run", sum(col("_ind")).over(wRun))
+    val summaries = within.groupBy(col(convCol), col("_chunk"))
+      .agg(max_by(col("_b"), col(idxCol)).as("_last_b"),
+        max_by(col("_run"), col(idxCol)).as("_chunk_sum"))
+    val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
+    val wCarrySum = wCarry.rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summaries
+      .withColumn("_corr",
+        when(coalesce(lag(col("_last_b"), 1).over(wCarry), lit(false)),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("_carry_in",
+        coalesce(sum(col("_chunk_sum") - col("_corr")).over(wCarrySum),
+          lit(0L)))
+      .select(col(convCol), col("_chunk"), col("_corr"), col("_carry_in"))
+    within
+      .join(carry.hint("SHUFFLE_HASH"), Seq(convCol, "_chunk"), "left")
+      .withColumn(outCol,
+        col("_run") - col("_corr") + col("_carry_in"))
+      .drop("_b", "_chunk", "_lagb", "_rn", "_ind", "_run", "_corr",
+        "_carry_in")
+  }
+
   /** Running sum of an integer indicator per conv ordered by turn_idx —
     * the sessionization primitive (P3: multiline grouping). Adds `outCol`
     * = inclusive prefix sum of `indicator`.

@@ -76,6 +76,25 @@ object PipelineProps extends Properties("pipeline") {
   private val genRole: Gen[String] =
     Gen.oneOf("user", "assistant", "tool", "system", "alien", "")
 
+  property("lagGatedPrefixSum == lagOne -> prefixSum composition " +
+      "(the r9 fused what=next scan) for any input and chunk size") =
+    forAll(genRows, genChunk) { (rows, chunk) =>
+      rows.isEmpty || {
+        val df = rows.toDF("conv_id", "turn_idx", "v")
+        val belongs = $"v" > 1
+        val fused = PrefixOps.lagGatedPrefixSum(df, belongs, "sid",
+            chunkSize = chunk)
+          .select($"conv_id", $"turn_idx", $"sid")
+        val composed = PrefixOps.prefixSum(
+            PrefixOps.lagOne(df, belongs, "_pb", chunkSize = chunk),
+            when(coalesce($"_pb", lit(false)), lit(0)).otherwise(lit(1)),
+            "sid", chunkSize = chunk)
+          .select($"conv_id", $"turn_idx", $"sid")
+        fused.exceptAll(composed).isEmpty &&
+          composed.exceptAll(fused).isEmpty
+      }
+    }
+
   property("routing assigns every row exactly one known sink") =
     forAll(Gen.listOfN(40, Gen.zip(genRole, genText)),
       Gen.oneOf("", "junk", "body", "\\d+")) { (rows, pattern) =>
