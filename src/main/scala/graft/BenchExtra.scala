@@ -67,7 +67,18 @@ object BenchExtra {
       spark.sparkContext.setJobDescription(null)
     }
 
-    if (sel == "stages") {
+    if (sel == "pipeline") {
+      val inputPath = BenchPipeline.ensureInput(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toLong)
+      BenchPipeline.timePipeline(spark, inputPath) // warmup
+      val runs = (1 to 4).map { _ =>
+        BenchPipeline.timePipeline(spark, inputPath)
+      }
+      val (rows, sec) = runs.minBy(_._2)
+      System.err.println(f"[stage] pipeline rows=$rows best=$sec%.3f " +
+        f"tput=${rows / sec}%.0f " +
+        s"runs=${runs.map(r => f"${r._2}%.2f").mkString(",")}")
+    } else if (sel == "stages") {
       import graft.ops.Dedup
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       timeStage("docs_scan") { noop(docs) }

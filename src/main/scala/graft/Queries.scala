@@ -1028,16 +1028,18 @@ object Queries {
     val docs = t(spark, dir, "documents")
     def bandsOf(df: DataFrame) = Dedup.lshBands(
       Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), "doc_id", 8, 2)
-    // NOT persisted, deliberately: the stored-half bands feed both the
-    // historical pair derivation and the incremental join, so a
-    // .persist() looks like it should save one shingle+hash pass — but
-    // an interleaved same-JVM A/B at sf0.1 measured persist as a net
-    // LOSS (median 15.6 s vs 14.3 s without): the InMemoryRelation
-    // breaks whole-stage-codegen fusion of shingle->hash->explode into
-    // each consumer and materializes the exploded band rows, which
-    // costs more than recomputing them. (The production path reads
-    // bands from the `_bands` store and never recomputes them at all.)
+    // The stored-half bands feed both the historical pair derivation
+    // and the incremental join; they are materialized ONCE with an
+    // eager localCheckpoint. (History: a round-6 A/B measured .persist()
+    // here as a net LOSS, 15.6 s vs 14.3 — but that verdict predates
+    // the r9 narrow signature chain: back then recomputing meant a
+    // cheap re-read of an already-shuffled aggregate, while the
+    // InMemoryRelation broke codegen fusion. With signatures now
+    // derived narrowly per row, an r9 A/B measured checkpoint-once as
+    // the WIN. The production path reads bands from the `_bands` store
+    // and never recomputes them at all.)
     val stored = bandsOf(docs.filter(col("doc_id") < 250))
+      .localCheckpoint(true)
     val incoming = bandsOf(docs.filter(col("doc_id") >= 250))
     val oldPairs = Dedup.lshCandidatePairs(stored, "doc_id")
     val newPairs = Dedup.incrementalLshPairs(stored, incoming, "doc_id")
