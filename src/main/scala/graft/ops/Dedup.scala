@@ -374,12 +374,25 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // labels₀(x) = x is never materialized (r9): under the identity
+    // labeling, every neighbor's label IS its node id, so iteration 1
+    // needs no labels join at all — the edge rows are the neighbor
+    // messages verbatim, and the distinct src ids are the self
+    // messages. This drops the init checkpoint job AND iteration 1's
+    // join; iterations 2+ run the shared [[propagationStep]].
+    def firstStep: DataFrame = edges
+      .select(col("src").as("id"), col("dst").as("_nl"),
+        lit(false).as("_self"))
+      .unionByName(edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("_nl"), lit(true).as("_self")))
+      .groupBy(col("id"))
+      .agg(max(when(col("_self"), col("_nl"))).as("label"),
+        min(col("_nl")).as("_next"))
+    var labels: DataFrame = null
     // blocks of superseded iterations are unpersisted as soon as the
     // next checkpoint is materialized — at most TWO label snapshots
     // live at any moment, not O(iterations)
-    var prevCk = checkpointRdd(labels)
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -387,7 +400,8 @@ object Dedup {
       // the shortcut self-join below reads a leaf twice instead of
       // re-deriving the join+agg step, and the next iteration builds
       // on a shallow plan, not on this one's tree
-      val stepped = propagationStep(edges, labels).localCheckpoint(true)
+      val stepped = (if (iters == 0) firstStep
+        else propagationStep(edges, labels)).localCheckpoint(true)
       // convergence is decidable from the STEP alone: if no label
       // decreased under neighbor-min, every label already equals its
       // component minimum (otherwise, on a path from a mislabeled node
@@ -399,8 +413,15 @@ object Dedup {
       val changed = stepped.filter(col("_next") < col("label")).count()
       converged = changed == 0L
       if (converged) {
-        // labels unchanged this iteration; stepped is redundant
-        checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
+        if (labels == null) {
+          // converged on the very first step (edge set already at its
+          // fixpoint, e.g. empty): stepped IS the label table
+          labels = stepped.select(col("id"), col("label"))
+          prevCk = checkpointRdd(stepped)
+        } else {
+          // labels unchanged this iteration; stepped is redundant
+          checkpointRdd(stepped).foreach(_.unpersist(blocking = false))
+        }
       } else {
         // pointer jump: label(x) <- label(label(x)). `_next` is always
         // a node id in x's component with _next(x) <= x, so the lookup

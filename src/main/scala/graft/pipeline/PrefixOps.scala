@@ -52,19 +52,22 @@ object PrefixOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = chunked.withColumn("_run", last(col("_val"), ignoreNulls = true).over(wIn))
 
-    // One row per (conv, chunk): the last non-null value in that chunk.
+    // One row per (conv, chunk) — INCLUDING chunks with no non-null
+    // value of their own: max_by skips rows whose ordering expression
+    // is null, so ordering by idx only where the value is non-null
+    // yields the chunk's last non-null value, or null for an all-null
+    // chunk. One aggregate over the input replaces the former
+    // two-pass form (a filtered summary aggregate PLUS a distinct
+    // chunk spine, left-joined) — one less full-input pass and one
+    // less join (r9; the PipelineProps naive-window property pins
+    // equivalence across chunk sizes, null runs included).
     val summaries = chunked
-      .filter(col("_val").isNotNull)
       .groupBy(col(convCol), col("_chunk"))
-      .agg(max_by(col("_val"), col(idxCol)).as("_chunk_last"))
+      .agg(max_by(col("_val"),
+        when(col("_val").isNotNull, col(idxCol))).as("_chunk_last"))
     val wCarry = Window.partitionBy(col(convCol)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // Carry-in for every chunk that appears in the data (including chunks
-    // with no non-null values of their own — hence the distinct chunk
-    // spine, left-joined with summaries).
-    val spine = chunked.select(col(convCol), col("_chunk")).distinct()
-    val carry = spine
-      .join(summaries, Seq(convCol, "_chunk"), "left")
+    val carry = summaries
       .withColumn("_carry_in",
         last(col("_chunk_last"), ignoreNulls = true).over(wCarry))
       .select(col(convCol), col("_chunk"), col("_carry_in"))
