@@ -241,12 +241,22 @@ object Queries {
     import spark.implicits._
     val ev = t(spark, dir, "events")
     val routed = ev.withColumn("sink", routingCase)
-    val total = ev.count()
-    val routedN = routed.count()
-    val missing = ev.select(col("event_id"))
-      .exceptAll(routed.select(col("event_id"))).count()
-    val extra = routed.select(col("event_id"))
-      .exceptAll(ev.select(col("event_id"))).count()
+    // four INDEPENDENT actions — overlapped from a small thread pool so
+    // the later jobs back-fill the earlier jobs' straggler tails
+    // (guide §2.6); the EXCEPT ALL shapes themselves are unchanged
+    // (this query is the §2.7 set-ops coverage witness).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fTotal = Future(ev.count())
+    val fRouted = Future(routed.count())
+    val fMissing = Future(ev.select(col("event_id"))
+      .exceptAll(routed.select(col("event_id"))).count())
+    val fExtra = Future(routed.select(col("event_id"))
+      .exceptAll(ev.select(col("event_id"))).count())
+    val (total, routedN, missing, extra) = (
+      Await.result(fTotal, Duration.Inf), Await.result(fRouted, Duration.Inf),
+      Await.result(fMissing, Duration.Inf), Await.result(fExtra, Duration.Inf))
     Seq((total, routedN, missing, extra))
       .toDF("total_rows", "routed_rows", "missing_rows", "extra_rows")
   }
@@ -319,8 +329,14 @@ object Queries {
     val ev = t(spark, dir, "events")
     def users(et: String) =
       ev.filter(col("event_type") === et).select(col("user_id")).distinct()
-    val nBoth = users("purchase").intersect(users("error")).count()
-    val nViewOnly = users("view").except(users("click")).count()
+    // two independent actions, overlapped (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fBoth = Future(users("purchase").intersect(users("error")).count())
+    val fViewOnly = Future(users("view").except(users("click")).count())
+    val (nBoth, nViewOnly) =
+      (Await.result(fBoth, Duration.Inf), Await.result(fViewOnly, Duration.Inf))
     Seq((nBoth, nViewOnly)).toDF("n_both", "n_view_only")
   }
 
@@ -911,7 +927,11 @@ object Queries {
     */
   def d19(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // consumed twice (signature chain + final anti-join census);
+    // materialized once — within-query only, recomputed from parquet
+    // every invocation
     val exact = Dedup.dropExactDups(docs, "doc_id", "text")
+      .localCheckpoint(true)
     val sigs = Dedup.minhashSignatures(exact, "doc_id", "text", 3, 8)
     val drop = Dedup.resolveClusters(
         Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 8, 2),
