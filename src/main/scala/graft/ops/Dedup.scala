@@ -78,6 +78,9 @@ object Dedup {
     * cores idle.
     */
   def parallelized(df: DataFrame): DataFrame = {
+    // streaming frames have no .rdd (and their micro-batch partitioning
+    // is the source's business) — pass them through untouched
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -77,6 +77,21 @@ class OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("parallelized: small batch inputs gain partitions, already-wide " +
+      "inputs and streaming frames pass through untouched") {
+    val small = spark.range(100).coalesce(1).toDF()
+    assert(Dedup.parallelized(small).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // result multiset unchanged by the round-robin
+    assert(Dedup.parallelized(small).agg(sum(col("id"))).head.getLong(0)
+      == 4950L)
+    val wide = spark.range(100)
+      .repartition(spark.sparkContext.defaultParallelism + 3).toDF()
+    assert(Dedup.parallelized(wide) eq wide)
+    val stream = spark.readStream.format("rate").load()
+    assert(stream.isStreaming && (Dedup.parallelized(stream) eq stream))
+  }
+
   test("hashSampleFlag: deterministic, rate-monotone, null keys dropped") {
     val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "name")
     def kept(rate: Int): Long = df.filter(
