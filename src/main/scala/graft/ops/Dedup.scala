@@ -620,6 +620,16 @@ object Dedup {
     */
   def incrementalLshPairs(storedBands: DataFrame, newBands: DataFrame,
       idCol: String, maxBucket: Int = 1000): DataFrame = {
+    // the NEW side is consumed three times (union, touched buckets,
+    // new ids); when it arrives as a derivation (shingle+hash chain)
+    // rather than a store read, re-deriving it per consumer triples
+    // the batch's hashing cost — materialize once (r9). The band table
+    // is ~4 short rows per document, far smaller than the batch text,
+    // so the checkpoint is cheap at any batch size. Streaming callers
+    // (none today) would pass a store-backed frame, which the
+    // checkpoint also handles (it is simply a small cached copy).
+    val nb = newBands.select(col("band"), col("sig"), col(idCol))
+      .localCheckpoint(true)
     // a document present in BOTH sides (re-ingestion of an
     // already-committed doc) CANNOT double-count in bucket sizes: the
     // bucket aggregate is size(collect_set(id)) — set semantics — so
@@ -628,13 +638,13 @@ object Dedup {
     // distinct here: it would add a full extra exchange over the
     // stored band table on exactly the path this operator keeps narrow.
     val all = storedBands.select(col("band"), col("sig"), col(idCol))
-      .unionByName(newBands.select(col("band"), col("sig"), col(idCol)))
+      .unionByName(nb)
     // buckets that gained a new member — the only place a new pair can
     // appear; everything else is pruned before any pair expansion
-    val touched = newBands.select(col("band"), col("sig")).distinct()
+    val touched = nb.select(col("band"), col("sig")).distinct()
     val eligible = all.join(touched, Seq("band", "sig"), "left_semi")
     val pairs = lshCandidatePairs(eligible, idCol, maxBucket)
-    val newIds = newBands.select(col(idCol)).distinct()
+    val newIds = nb.select(col(idCol)).distinct()
     // keep pairs with a new member on EITHER side (old-old pairs inside
     // a touched bucket already exist in the prior state's pair set).
     // Two marker LEFT joins + one OR-filter, NOT two semi-joins
